@@ -1,0 +1,476 @@
+"""Minimal, dependency-free BAM reader/writer (SAM spec v1.6 §4).
+
+Replaces the reference's pysam/htslib usage (`reference:
+preprocess/pre_lib.py:50-91`, `inference/quick_inference.py:894-897`) with a
+pure-Python + numpy implementation covering the slice of BAM this framework
+needs: sequential streaming, the aux tags used by PacBio CCS polishing
+(zm/pw/ip/sn/ec/np/rq/RG/wl), CIGAR access, qualities, and unmapped-record
+output. A C++ fast path can replace the inner record parser without changing
+this interface.
+"""
+
+import struct
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from deepconsensus_tpu import constants
+from deepconsensus_tpu.io import bgzf
+
+_BAM_MAGIC = b'BAM\x01'
+
+# 4-bit encoded sequence alphabet.
+_SEQ_NIBBLE = '=ACMGRSVTWYHKDBN'
+_NIBBLE_TO_CHAR = np.frombuffer(_SEQ_NIBBLE.encode(), dtype=np.uint8)
+_CHAR_TO_NIBBLE = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(_SEQ_NIBBLE):
+  _CHAR_TO_NIBBLE[ord(_c)] = _i
+  _CHAR_TO_NIBBLE[ord(_c.lower())] = _i
+
+_TAG_FMT = {
+    ord('c'): ('b', 1),
+    ord('C'): ('B', 1),
+    ord('s'): ('h', 2),
+    ord('S'): ('H', 2),
+    ord('i'): ('i', 4),
+    ord('I'): ('I', 4),
+    ord('f'): ('f', 4),
+    ord('A'): ('c', 1),
+}
+_ARRAY_DTYPES = {
+    ord('c'): np.int8,
+    ord('C'): np.uint8,
+    ord('s'): np.int16,
+    ord('S'): np.uint16,
+    ord('i'): np.int32,
+    ord('I'): np.uint32,
+    ord('f'): np.float32,
+}
+
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+FLAG_SECONDARY = 0x100
+FLAG_SUPPLEMENTARY = 0x800
+
+
+class BamHeader:
+  """BAM header: SAM text + reference dictionary."""
+
+  def __init__(self, text: str, references: List[Tuple[str, int]]):
+    self.text = text
+    self.references = references
+    self.ref_names = [r[0] for r in references]
+    self._name_to_id = {n: i for i, n in enumerate(self.ref_names)}
+
+  def ref_id(self, name: str) -> int:
+    return self._name_to_id.get(name, -1)
+
+  def ref_name(self, rid: int) -> Optional[str]:
+    if 0 <= rid < len(self.ref_names):
+      return self.ref_names[rid]
+    return None
+
+
+class BamRecord:
+  """One BAM alignment record with decoded fields.
+
+  Attributes mirror (a subset of) the pysam AlignedSegment surface the
+  reference relies on, so preprocessing code reads naturally.
+  """
+
+  __slots__ = (
+      'qname',
+      'flag',
+      'ref_id',
+      'pos',
+      'mapq',
+      'cigartuples',
+      'seq',
+      'qual',
+      '_tag_blob',
+      '_tags',
+      'header',
+  )
+
+  def __init__(self):
+    self.qname = ''
+    self.flag = 0
+    self.ref_id = -1
+    self.pos = -1
+    self.mapq = 0
+    self.cigartuples: List[Tuple[int, int]] = []
+    self.seq = ''
+    self.qual: Optional[np.ndarray] = None
+    self._tag_blob: bytes = b''
+    self._tags: Optional[Dict[str, Any]] = None
+    self.header: Optional[BamHeader] = None
+
+  # -- pysam-compatible conveniences -------------------------------------
+  @property
+  def is_unmapped(self) -> bool:
+    return bool(self.flag & FLAG_UNMAPPED)
+
+  @property
+  def is_reverse(self) -> bool:
+    return bool(self.flag & FLAG_REVERSE)
+
+  @property
+  def is_supplementary(self) -> bool:
+    return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+  @property
+  def reference_name(self) -> Optional[str]:
+    if self.header is None:
+      return None
+    return self.header.ref_name(self.ref_id)
+
+  @property
+  def query_qualities(self) -> Optional[np.ndarray]:
+    return self.qual
+
+  @property
+  def query_sequence(self) -> str:
+    return self.seq
+
+  @property
+  def tags(self) -> Dict[str, Any]:
+    if self._tags is None:
+      self._tags = _parse_tags(self._tag_blob)
+    return self._tags
+
+  def get_tag(self, name: str) -> Any:
+    try:
+      return self.tags[name]
+    except KeyError:
+      raise KeyError(f'tag {name!r} not present on {self.qname}') from None
+
+  def has_tag(self, name: str) -> bool:
+    return name in self.tags
+
+  def set_tag(self, name: str, value: Any) -> None:
+    self.tags[name] = value
+
+  @property
+  def query_alignment_start(self) -> int:
+    """Query index of the first non-clipped base."""
+    qstart = 0
+    for op, length in self.cigartuples:
+      if op == constants.CSOFT_CLIP:
+        qstart += length
+      elif op != constants.CHARD_CLIP:
+        break
+    return qstart
+
+  @property
+  def query_alignment_end(self) -> int:
+    """Query index one past the last non-clipped base."""
+    qend = len(self.seq)
+    for op, length in reversed(self.cigartuples):
+      if op == constants.CSOFT_CLIP:
+        qend -= length
+      elif op != constants.CHARD_CLIP:
+        break
+    return qend
+
+  def expanded_cigar(self) -> np.ndarray:
+    """Per-position cigar op codes (uint8), hard clips included."""
+    if not self.cigartuples:
+      return np.empty(0, dtype=np.uint8)
+    ops = np.array([op for op, _ in self.cigartuples], dtype=np.uint8)
+    lens = np.array([l for _, l in self.cigartuples], dtype=np.int64)
+    return np.repeat(ops, lens)
+
+  def __repr__(self):
+    return (
+        f'BamRecord({self.qname}, flag={self.flag}, ref={self.ref_id}, '
+        f'pos={self.pos}, len={len(self.seq)})'
+    )
+
+
+def _parse_tags(blob: bytes) -> Dict[str, Any]:
+  """Decodes the aux-tag region of a BAM record."""
+  tags: Dict[str, Any] = {}
+  off = 0
+  n = len(blob)
+  while off + 3 <= n:
+    name = blob[off : off + 2].decode('ascii')
+    typ = blob[off + 2]
+    off += 3
+    if typ in _TAG_FMT:
+      fmt, size = _TAG_FMT[typ]
+      (val,) = struct.unpack_from('<' + fmt, blob, off)
+      if typ == ord('A'):
+        val = val.decode('ascii')
+      off += size
+      tags[name] = val
+    elif typ in (ord('Z'), ord('H')):
+      end = blob.index(b'\x00', off)
+      tags[name] = blob[off:end].decode('ascii')
+      off = end + 1
+    elif typ == ord('B'):
+      subtype = blob[off]
+      (count,) = struct.unpack_from('<i', blob, off + 1)
+      dtype = _ARRAY_DTYPES[subtype]
+      itemsize = np.dtype(dtype).itemsize
+      start = off + 5
+      arr = np.frombuffer(blob[start : start + count * itemsize], dtype=dtype)
+      tags[name] = arr
+      off = start + count * itemsize
+    else:
+      raise ValueError(f'unsupported BAM tag type {chr(typ)!r}')
+  return tags
+
+
+def decode_seq(packed: bytes, l_seq: int) -> str:
+  """Unpacks 4-bit encoded bases to an ASCII string."""
+  raw = np.frombuffer(packed, dtype=np.uint8)
+  nibbles = np.empty(len(raw) * 2, dtype=np.uint8)
+  nibbles[0::2] = raw >> 4
+  nibbles[1::2] = raw & 0x0F
+  return _NIBBLE_TO_CHAR[nibbles[:l_seq]].tobytes().decode('ascii')
+
+
+def encode_seq(seq: str) -> bytes:
+  """Packs an ASCII base string into BAM 4-bit encoding."""
+  chars = np.frombuffer(seq.encode('ascii'), dtype=np.uint8)
+  nibbles = _CHAR_TO_NIBBLE[chars]
+  if len(nibbles) % 2:
+    nibbles = np.concatenate([nibbles, np.zeros(1, dtype=np.uint8)])
+  packed = (nibbles[0::2] << 4) | nibbles[1::2]
+  return packed.tobytes()
+
+
+def parse_record(blob: bytes, header: Optional[BamHeader] = None) -> BamRecord:
+  """Parses one BAM record body (without the leading block_size int32)."""
+  rec = BamRecord()
+  rec.header = header
+  (
+      ref_id,
+      pos,
+      l_read_name,
+      mapq,
+      _bin,
+      n_cigar_op,
+      flag,
+      l_seq,
+      _next_ref_id,
+      _next_pos,
+      _tlen,
+  ) = struct.unpack_from('<iiBBHHHiiii', blob, 0)
+  rec.ref_id = ref_id
+  rec.pos = pos
+  rec.mapq = mapq
+  rec.flag = flag
+  off = 32
+  rec.qname = blob[off : off + l_read_name - 1].decode('ascii')
+  off += l_read_name
+  cigar = np.frombuffer(blob[off : off + 4 * n_cigar_op], dtype='<u4')
+  rec.cigartuples = [
+      (int(c & 0xF), int(c >> 4)) for c in cigar
+  ]
+  off += 4 * n_cigar_op
+  n_seq_bytes = (l_seq + 1) // 2
+  rec.seq = decode_seq(blob[off : off + n_seq_bytes], l_seq)
+  off += n_seq_bytes
+  qual = np.frombuffer(blob[off : off + l_seq], dtype=np.uint8)
+  rec.qual = None if (l_seq and qual.size and qual[0] == 0xFF) else qual.copy()
+  off += l_seq
+  rec._tag_blob = blob[off:]  # pylint: disable=protected-access
+  return rec
+
+
+class BamReader:
+  """Sequential BAM reader."""
+
+  def __init__(self, path: str):
+    self._r = bgzf.BgzfReader(path)
+    magic = self._r.read(4)
+    if magic != _BAM_MAGIC:
+      raise IOError(f'{path}: not a BAM file')
+    (l_text,) = struct.unpack('<i', self._r.read(4))
+    text = self._r.read(l_text).decode('ascii', errors='replace').rstrip('\x00')
+    (n_ref,) = struct.unpack('<i', self._r.read(4))
+    refs = []
+    for _ in range(n_ref):
+      (l_name,) = struct.unpack('<i', self._r.read(4))
+      name = self._r.read(l_name)[:-1].decode('ascii')
+      (l_ref,) = struct.unpack('<i', self._r.read(4))
+      refs.append((name, l_ref))
+    self.header = BamHeader(text, refs)
+
+  def __iter__(self) -> Iterator[BamRecord]:
+    return self
+
+  def __next__(self) -> BamRecord:
+    size_bytes = self._r.read(4)
+    if len(size_bytes) < 4:
+      raise StopIteration
+    (block_size,) = struct.unpack('<i', size_bytes)
+    blob = self._r.read(block_size)
+    if len(blob) < block_size:
+      raise IOError('truncated BAM record')
+    return parse_record(blob, self.header)
+
+  def close(self) -> None:
+    self._r.close()
+
+  def __enter__(self) -> 'BamReader':
+    return self
+
+  def __exit__(self, *exc) -> None:
+    self.close()
+
+
+def encode_tag(name: str, value: Any, type_hint: Optional[str] = None) -> bytes:
+  """Encodes one aux tag. type_hint: one of 'i','f','Z','A', or None (infer)."""
+  tag = name.encode('ascii')
+  if type_hint is None:
+    if isinstance(value, float):
+      type_hint = 'f'
+    elif isinstance(value, (int, np.integer)):
+      type_hint = 'i'
+    elif isinstance(value, str):
+      type_hint = 'Z'
+    elif isinstance(value, np.ndarray):
+      type_hint = 'B'
+    else:
+      raise ValueError(f'cannot infer tag type for {value!r}')
+  if type_hint == 'i':
+    return tag + b'i' + struct.pack('<i', int(value))
+  if type_hint == 'f':
+    return tag + b'f' + struct.pack('<f', float(value))
+  if type_hint == 'Z':
+    return tag + b'Z' + value.encode('ascii') + b'\x00'
+  if type_hint == 'A':
+    return tag + b'A' + value.encode('ascii')
+  if type_hint == 'B':
+    arr = np.asarray(value)
+    sub = {
+        np.dtype(np.int8): b'c',
+        np.dtype(np.uint8): b'C',
+        np.dtype(np.int16): b's',
+        np.dtype(np.uint16): b'S',
+        np.dtype(np.int32): b'i',
+        np.dtype(np.uint32): b'I',
+        np.dtype(np.float32): b'f',
+    }[arr.dtype]
+    return (
+        tag + b'B' + sub + struct.pack('<i', arr.size)
+        + arr.astype(arr.dtype, copy=False).tobytes()
+    )
+  raise ValueError(f'unsupported tag type {type_hint!r}')
+
+
+def build_record_blob(
+    qname: str,
+    flag: int,
+    seq: str,
+    qual: Optional[np.ndarray],
+    tags: bytes = b'',
+    ref_id: int = -1,
+    pos: int = -1,
+    mapq: int = 255,
+    cigartuples: Optional[List[Tuple[int, int]]] = None,
+) -> bytes:
+  """Serializes a BAM record body (without the leading block_size)."""
+  name_b = qname.encode('ascii') + b'\x00'
+  cigartuples = cigartuples or []
+  cigar_b = b''.join(
+      struct.pack('<I', (length << 4) | op) for op, length in cigartuples
+  )
+  seq_b = encode_seq(seq)
+  l_seq = len(seq)
+  if qual is None:
+    qual_b = b'\xff' * l_seq
+  else:
+    qual_b = np.asarray(qual, dtype=np.uint8).tobytes()
+  fixed = struct.pack(
+      '<iiBBHHHiiii',
+      ref_id,
+      pos,
+      len(name_b),
+      mapq,
+      0,  # bin: unused by downstream consumers for unmapped records.
+      len(cigartuples),
+      flag,
+      l_seq,
+      -1,
+      -1,
+      0,
+  )
+  return fixed + name_b + cigar_b + seq_b + qual_b + tags
+
+
+class BamWriter:
+  """Sequential BAM writer (used for unmapped FASTQ-equivalent output)."""
+
+  def __init__(self, path: str, header: BamHeader):
+    self._w = bgzf.BgzfWriter(path)
+    self.header = header
+    text_b = header.text.encode('ascii')
+    out = [_BAM_MAGIC, struct.pack('<i', len(text_b)), text_b]
+    out.append(struct.pack('<i', len(header.references)))
+    for name, length in header.references:
+      name_b = name.encode('ascii') + b'\x00'
+      out.append(struct.pack('<i', len(name_b)))
+      out.append(name_b)
+      out.append(struct.pack('<i', length))
+    self._w.write(b''.join(out))
+
+  def write_blob(self, blob: bytes) -> None:
+    self._w.write(struct.pack('<i', len(blob)) + blob)
+
+  def write_record(self, rec: BamRecord, tags: Optional[bytes] = None) -> None:
+    if tags is None:
+      tags = rec._tag_blob  # pylint: disable=protected-access
+    self.write_blob(
+        build_record_blob(
+            rec.qname,
+            rec.flag,
+            rec.seq,
+            rec.qual,
+            tags,
+            ref_id=rec.ref_id,
+            pos=rec.pos,
+            mapq=rec.mapq,
+            cigartuples=rec.cigartuples,
+        )
+    )
+
+  def close(self) -> None:
+    self._w.close()
+
+  def __enter__(self) -> 'BamWriter':
+    return self
+
+  def __exit__(self, *exc) -> None:
+    self.close()
+
+
+def read_all(path: str) -> Tuple[BamHeader, List[BamRecord]]:
+  """Reads an entire BAM into memory (small-file convenience)."""
+  with BamReader(path) as r:
+    return r.header, list(r)
+
+
+def index_by_reference(
+    path: str, primary_only: bool = False
+) -> Tuple[BamHeader, Dict[str, List[BamRecord]]]:
+  """Groups all records of a BAM by reference name.
+
+  Replaces the reference's indexed `truth_to_ccs.fetch(ccs_seqname)` pattern
+  (`reference: preprocess/pre_lib.py:1001-1014`) with a one-pass scan, which
+  sidesteps the .bai requirement for the per-shard file sizes this pipeline
+  uses.
+  """
+  header, records = read_all(path)
+  by_ref: Dict[str, List[BamRecord]] = {}
+  for rec in records:
+    if rec.is_unmapped:
+      continue
+    if primary_only and (rec.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)):
+      continue
+    name = rec.reference_name
+    if name is not None:
+      by_ref.setdefault(name, []).append(rec)
+  return header, by_ref

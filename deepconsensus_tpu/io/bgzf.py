@@ -1,0 +1,182 @@
+"""BGZF (blocked gzip) reader/writer built on zlib.
+
+The reference delegates all BAM IO to pysam/htslib (C). pysam is not part of
+this framework; BAM container decoding is implemented here directly. BGZF is
+a series of gzip members, each with a BC extra subfield carrying the
+compressed block size (SAM spec v1.6 §4.1).
+"""
+
+import struct
+import zlib
+from typing import BinaryIO, Iterator, Optional, Union
+
+_BGZF_HEADER_LEN = 12
+_BGZF_EOF = bytes.fromhex(
+    '1f8b08040000000000ff0600424302001b0003000000000000000000'
+)
+
+
+class BgzfError(IOError):
+  pass
+
+
+class BgzfReader:
+  """Streaming BGZF decompressor exposing a read()/readinto-style interface."""
+
+  def __init__(self, path_or_file: Union[str, BinaryIO]):
+    if isinstance(path_or_file, str):
+      self._fh = open(path_or_file, 'rb')
+      self._owns_fh = True
+    else:
+      self._fh = path_or_file
+      self._owns_fh = False
+    self._buf = b''
+    self._buf_pos = 0
+    self._eof = False
+
+  def close(self) -> None:
+    if self._owns_fh:
+      self._fh.close()
+
+  def __enter__(self) -> 'BgzfReader':
+    return self
+
+  def __exit__(self, *exc) -> None:
+    self.close()
+
+  def _read_block(self) -> Optional[bytes]:
+    """Reads and decompresses one BGZF block; None at physical EOF."""
+    header = self._fh.read(_BGZF_HEADER_LEN)
+    if not header:
+      return None
+    if len(header) < _BGZF_HEADER_LEN or header[:2] != b'\x1f\x8b':
+      raise BgzfError('truncated or non-BGZF gzip member header')
+    xlen = struct.unpack('<H', header[10:12])[0]
+    extra = self._fh.read(xlen)
+    bsize = None
+    i = 0
+    while i + 4 <= len(extra):
+      si1, si2 = extra[i], extra[i + 1]
+      slen = struct.unpack('<H', extra[i + 2 : i + 4])[0]
+      if si1 == 66 and si2 == 67 and slen == 2:
+        bsize = struct.unpack('<H', extra[i + 4 : i + 6])[0] + 1
+      i += 4 + slen
+    if bsize is None:
+      raise BgzfError('gzip member missing BGZF BC subfield')
+    # Remainder: compressed data + CRC32 + ISIZE.
+    payload = self._fh.read(bsize - _BGZF_HEADER_LEN - xlen)
+    cdata = payload[:-8]
+    isize = struct.unpack('<I', payload[-4:])[0]
+    data = zlib.decompress(cdata, -15)
+    if len(data) != isize:
+      raise BgzfError('BGZF block ISIZE mismatch')
+    return data
+
+  def _fill(self) -> bool:
+    """Pulls the next non-empty block into the buffer. False at EOF."""
+    if self._eof:
+      return False
+    while True:
+      block = self._read_block()
+      if block is None:
+        self._eof = True
+        return False
+      if block:
+        leftover = self._buf[self._buf_pos :]
+        self._buf = leftover + block if leftover else block
+        self._buf_pos = 0
+        return True
+
+  def read(self, n: int) -> bytes:
+    """Reads exactly n bytes unless EOF intervenes."""
+    while len(self._buf) - self._buf_pos < n:
+      if not self._fill():
+        break
+    out = self._buf[self._buf_pos : self._buf_pos + n]
+    self._buf_pos += len(out)
+    if self._buf_pos == len(self._buf):
+      self._buf = b''
+      self._buf_pos = 0
+    return out
+
+  def read_all(self) -> bytes:
+    """Reads the remaining decompressed stream."""
+    chunks = [self._buf[self._buf_pos :]]
+    self._buf = b''
+    self._buf_pos = 0
+    while True:
+      block = self._read_block()
+      if block is None:
+        break
+      chunks.append(block)
+    self._eof = True
+    return b''.join(chunks)
+
+
+class BgzfWriter:
+  """BGZF compressor; one gzip member per <=64KB chunk plus an EOF member."""
+
+  def __init__(
+      self, path_or_file: Union[str, BinaryIO], compresslevel: int = 6
+  ):
+    if isinstance(path_or_file, str):
+      self._fh = open(path_or_file, 'wb')
+      self._owns_fh = True
+    else:
+      self._fh = path_or_file
+      self._owns_fh = False
+    self._level = compresslevel
+    self._buf = bytearray()
+    self._chunk = 0xFF00  # htslib's uncompressed block payload target.
+
+  def write(self, data: bytes) -> None:
+    self._buf += data
+    while len(self._buf) >= self._chunk:
+      self._flush_block(bytes(self._buf[: self._chunk]))
+      del self._buf[: self._chunk]
+
+  def _flush_block(self, data: bytes) -> None:
+    c = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+    cdata = c.compress(data) + c.flush()
+    crc = zlib.crc32(data) & 0xFFFFFFFF
+    bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+crc(4)+isize(4) = 26 - 1
+    block = (
+        b'\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff'
+        + struct.pack('<H', 6)
+        + b'BC'
+        + struct.pack('<H', 2)
+        + struct.pack('<H', len(cdata) + 25)
+        + cdata
+        + struct.pack('<II', crc, len(data))
+    )
+    del bsize
+    self._fh.write(block)
+
+  def flush(self) -> None:
+    if self._buf:
+      self._flush_block(bytes(self._buf))
+      self._buf.clear()
+
+  def close(self) -> None:
+    self.flush()
+    self._fh.write(_BGZF_EOF)
+    if self._owns_fh:
+      self._fh.close()
+    else:
+      self._fh.flush()
+
+  def __enter__(self) -> 'BgzfWriter':
+    return self
+
+  def __exit__(self, *exc) -> None:
+    self.close()
+
+
+def iter_blocks(path: str) -> Iterator[bytes]:
+  """Yields decompressed BGZF blocks of a file (testing/benchmark helper)."""
+  with BgzfReader(path) as r:
+    while True:
+      block = r._read_block()  # pylint: disable=protected-access
+      if block is None:
+        return
+      yield block

@@ -1,0 +1,91 @@
+"""TFRecord container reader/writer (gzip-compressed), no TF dependency.
+
+Framing per record: u64 length, masked crc32c(length), payload, masked
+crc32c(payload). The reference writes gzip TFRecords from its preprocess
+driver (reference: preprocess/preprocess.py:183-196) and reads them via
+tf.data (models/data_providers.py:346); this module supplies both sides.
+"""
+
+import gzip
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+
+_MASK_DELTA = 0xA282EAD8
+
+
+def _make_crc32c_table() -> np.ndarray:
+  poly = 0x82F63B78
+  table = np.zeros(256, dtype=np.uint32)
+  for i in range(256):
+    crc = i
+    for _ in range(8):
+      crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+    table[i] = crc
+  return table
+
+
+_CRC_TABLE = _make_crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+  crc = crc ^ 0xFFFFFFFF
+  table = _CRC_TABLE
+  for b in data:
+    crc = (crc >> 8) ^ int(table[(crc ^ b) & 0xFF])
+  return crc ^ 0xFFFFFFFF
+
+
+def masked_crc(data: bytes) -> int:
+  crc = crc32c(data)
+  return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+class TFRecordWriter:
+  """Writes TFRecord files; gzip-compressed when the path ends with .gz."""
+
+  def __init__(self, path: str, compressed: Optional[bool] = None):
+    if compressed is None:
+      compressed = path.endswith('.gz')
+    self._fh = gzip.open(path, 'wb') if compressed else open(path, 'wb')
+
+  def write(self, record: bytes) -> None:
+    header = struct.pack('<Q', len(record))
+    self._fh.write(header)
+    self._fh.write(struct.pack('<I', masked_crc(header)))
+    self._fh.write(record)
+    self._fh.write(struct.pack('<I', masked_crc(record)))
+
+  def close(self) -> None:
+    self._fh.close()
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *exc):
+    self.close()
+
+
+def read_tfrecords(
+    path: str, compressed: Optional[bool] = None, verify: bool = False
+) -> Iterator[bytes]:
+  """Yields raw record payloads from a TFRecord file."""
+  if compressed is None:
+    compressed = path.endswith('.gz')
+  fh = gzip.open(path, 'rb') if compressed else open(path, 'rb')
+  try:
+    while True:
+      header = fh.read(8)
+      if len(header) < 8:
+        return
+      (length,) = struct.unpack('<Q', header)
+      (hcrc,) = struct.unpack('<I', fh.read(4))
+      payload = fh.read(length)
+      (pcrc,) = struct.unpack('<I', fh.read(4))
+      if verify:
+        if masked_crc(header) != hcrc or masked_crc(payload) != pcrc:
+          raise IOError(f'{path}: TFRecord CRC mismatch')
+      yield payload
+  finally:
+    fh.close()

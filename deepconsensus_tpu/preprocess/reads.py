@@ -1,0 +1,370 @@
+"""Aligned-read data model and CCS-coordinate expansion.
+
+Behavioral contract follows reference `deepconsensus/preprocess/pre_lib.py`:
+`Read` (pre_lib.py:110-421), `trim_insertions` (pre_lib.py:1061-1125),
+`expand_clip_indent` (pre_lib.py:1128-1239), `construct_ccs_read`
+(pre_lib.py:966-998). The implementation is numpy-vectorized end to end; no
+per-base Python loops.
+"""
+
+import dataclasses
+from typing import Any, Counter, Dict, Optional, Union
+
+import numpy as np
+
+from deepconsensus_tpu import constants
+from deepconsensus_tpu.io import bam
+from deepconsensus_tpu.utils import phred
+
+GAP_BYTE = np.uint8(ord(constants.GAP))
+
+# Cigar ops that appear in one expanded (per-position) alignment column.
+_PAIR_OPS_QUERY = np.zeros(10, dtype=bool)
+for _op in constants.QUERY_ADVANCING_OPS:
+  _PAIR_OPS_QUERY[_op] = True
+_PAIR_OPS_REF = np.zeros(10, dtype=bool)
+for _op in constants.REF_ADVANCING_OPS:
+  _PAIR_OPS_REF[_op] = True
+_READ_ADVANCING_MASK = np.zeros(10, dtype=bool)
+for _op in constants.READ_ADVANCING_OPS:
+  _READ_ADVANCING_MASK[_op] = True
+
+
+@dataclasses.dataclass
+class AlignedRead:
+  """One sequence aligned into CCS coordinates.
+
+  bases are stored as uint8 ASCII codes (vectorization-friendly, unlike the
+  reference's '<U1' object-ish arrays). All per-position arrays share length.
+  """
+
+  name: str
+  bases: np.ndarray  # uint8 ASCII
+  cigar: np.ndarray  # uint8 cigar op per position
+  pw: np.ndarray  # uint8
+  ip: np.ndarray  # uint8
+  sn: np.ndarray  # float, shape (4,) for subreads; empty for labels
+  strand: int
+
+  # Aux tags, present on the CCS read only.
+  ec: Optional[float] = None
+  np_num_passes: Optional[int] = None
+  rq: Optional[float] = None
+  rg: Optional[str] = None
+
+  ccs_idx: np.ndarray = dataclasses.field(
+      default_factory=lambda: np.empty(0, dtype=np.int64)
+  )
+  base_quality_scores: np.ndarray = dataclasses.field(
+      default_factory=lambda: np.empty(0, dtype=np.int64)
+  )
+
+  truth_idx: np.ndarray = dataclasses.field(
+      default_factory=lambda: np.empty(0, dtype=np.int64)
+  )
+  truth_range: Union[Dict[str, Any], None] = None
+
+  @property
+  def is_label(self) -> bool:
+    return self.truth_range is not None
+
+  @property
+  def zmw(self) -> int:
+    return int(self.name.split('/')[1])
+
+  @property
+  def bases_encoded(self) -> np.ndarray:
+    """Vocab-id encoding of bases, as float32 (example dtype contract)."""
+    return constants.BASE_TO_ID[self.bases].astype(constants.NP_DATA_TYPE)
+
+  @property
+  def avg_base_quality_score(self) -> float:
+    return phred.avg_phred(self.base_quality_scores)
+
+  def __len__(self) -> int:
+    return len(self.bases)
+
+  def __str__(self) -> str:
+    return self.bases.tobytes().decode('ascii')
+
+  @property
+  def ccs_bounds(self) -> slice:
+    """Min/max covered CCS coordinate (inclusive max, reference contract)."""
+    covered = self.ccs_idx[self.ccs_idx != -1]
+    if covered.size == 0:
+      return slice(0, 0)
+    return slice(int(covered.min()), int(covered.max()))
+
+  @property
+  def label_bounds(self) -> slice:
+    covered = self.truth_idx[self.truth_idx != -1]
+    if covered.size == 0:
+      return slice(0, 0)
+    return slice(int(covered.min()), int(covered.max()))
+
+  @property
+  def label_coords(self) -> str:
+    if self.is_label:
+      b = self.label_bounds
+      return f'{self.truth_range["contig"]}:{b.start}-{b.stop}'
+    return ''
+
+  def slice_cols(self, sl: slice) -> 'AlignedRead':
+    """Slices all per-position arrays (reference: Read.__getitem__)."""
+    return AlignedRead(
+        name=self.name,
+        bases=self.bases[sl],
+        cigar=self.cigar[sl],
+        pw=self.pw[sl],
+        ip=self.ip[sl],
+        sn=self.sn,
+        strand=self.strand,
+        ec=self.ec,
+        np_num_passes=self.np_num_passes,
+        rq=self.rq,
+        rg=self.rg,
+        ccs_idx=self.ccs_idx[sl],
+        base_quality_scores=self.base_quality_scores[sl],
+        truth_idx=self.truth_idx[sl],
+        truth_range=self.truth_range,
+    )
+
+  def ccs_slice(self, start: int, end: int) -> 'AlignedRead':
+    """Slices by CCS coordinates; bounds inclusive (reference contract)."""
+    locs = np.where((self.ccs_idx >= start) & (self.ccs_idx <= end))[0]
+    if locs.size:
+      sl = slice(int(locs.min()), int(locs.max()) + 1)
+    else:
+      sl = slice(0, 0)
+    return self.slice_cols(sl)
+
+  def pad(self, pad_width: int) -> 'AlignedRead':
+    """Right-pads all arrays to pad_width (no-op when already long enough)."""
+    n = len(self.bases)
+    if n >= pad_width:
+      return self
+    def rp(arr, value, dtype=None):
+      out = np.full(pad_width, value, dtype=dtype or arr.dtype)
+      out[: len(arr)] = arr
+      return out
+
+    # Like the reference's right_pad (pre_lib.py:336-356), empty
+    # base_quality_scores / truth_idx arrays pad out to all -1.
+    return AlignedRead(
+        name=self.name,
+        bases=rp(self.bases, GAP_BYTE),
+        cigar=rp(self.cigar, constants.CHARD_CLIP),
+        pw=rp(self.pw, 0),
+        ip=rp(self.ip, 0),
+        sn=self.sn,
+        strand=self.strand,
+        ec=self.ec,
+        np_num_passes=self.np_num_passes,
+        rq=self.rq,
+        rg=self.rg,
+        ccs_idx=rp(self.ccs_idx, -1),
+        base_quality_scores=rp(self.base_quality_scores, -1, dtype=np.int64),
+        truth_idx=rp(self.truth_idx, -1, dtype=np.int64),
+        truth_range=self.truth_range,
+    )
+
+  def remove_gaps(self, pad_width: int) -> Optional['AlignedRead']:
+    """Drops gap columns then pads; None if the result would overflow."""
+    keep = self.bases != GAP_BYTE
+    if int(keep.sum()) > pad_width:
+      return None
+    kept = AlignedRead(
+        name=self.name,
+        bases=self.bases[keep],
+        cigar=self.cigar[keep],
+        pw=self.pw[keep],
+        ip=self.ip[keep],
+        sn=self.sn,
+        strand=self.strand,
+        ec=self.ec,
+        np_num_passes=self.np_num_passes,
+        rq=self.rq,
+        rg=self.rg,
+        ccs_idx=self.ccs_idx[keep],
+        base_quality_scores=(
+            self.base_quality_scores[keep]
+            if self.base_quality_scores.any()
+            else np.empty(0, dtype=np.int64)
+        ),
+        truth_idx=self.truth_idx[keep] if self.truth_idx.size else self.truth_idx,
+        truth_range=self.truth_range,
+    )
+    return kept.pad(pad_width)
+
+
+def trim_insertions(
+    record: bam.BamRecord,
+    ins_trim: int,
+    counter: Optional[Counter] = None,
+) -> bam.BamRecord:
+  """Removes insertions longer than ins_trim from a subread alignment.
+
+  Mutates seq/cigartuples and pw/ip tags in query space, with strand-aware
+  reversal of the pw/ip masks (reference: pre_lib.py:1061-1125).
+  """
+  if ins_trim <= 0:
+    return record
+  ops = np.array([op for op, _ in record.cigartuples], dtype=np.int64)
+  lens = np.array([l for _, l in record.cigartuples], dtype=np.int64)
+  if ops.size == 0:
+    return record
+
+  # Reference consumes query for every op except DEL (pre_lib.py:1103-1105);
+  # replicate that literal behavior.
+  consumes_query = ops != constants.CDEL
+  drop = (ops == constants.CINS) & (lens > ins_trim)
+
+  if counter is not None:
+    counter['zmw_trimmed_insertions'] += int(drop.sum())
+    counter['zmw_trimmed_insertions_bp'] += int(lens[drop].sum())
+    counter['zmw_total_bp'] += int(lens.sum())
+
+  # Query-space keep mask.
+  qlens = np.where(consumes_query, lens, 0)
+  qstarts = np.concatenate([[0], np.cumsum(qlens)[:-1]])
+  mask = np.ones(int(qlens.sum()), dtype=bool)
+  for i in np.where(drop)[0]:
+    mask[qstarts[i] : qstarts[i] + lens[i]] = False
+
+  seq_bytes = np.frombuffer(record.seq.encode('ascii'), dtype=np.uint8)
+  record.seq = seq_bytes[mask].tobytes().decode('ascii')
+  record.cigartuples = [
+      (int(op), int(l)) for op, l, d in zip(ops, lens, drop) if not d
+  ]
+
+  for tag in ('pw', 'ip'):
+    if record.has_tag(tag):
+      vals = np.asarray(record.get_tag(tag))
+      if vals.size:
+        m = mask[::-1] if record.is_reverse else mask
+        record.set_tag(tag, vals[m[: vals.size]])
+  return record
+
+
+def expand_clip_indent(
+    record: bam.BamRecord,
+    truth_range: Union[Dict[str, Any], None] = None,
+    ins_trim: int = 0,
+    counter: Optional[Counter] = None,
+) -> AlignedRead:
+  """Expands an alignment into per-CCS-position arrays.
+
+  Deletions become gap columns, soft/hard clips are dropped, the array is
+  indented by the alignment start, and pw/ip are reversed on the reverse
+  strand (reference: pre_lib.py:1128-1239), all with vectorized numpy.
+  """
+  if ins_trim > 0:
+    record = trim_insertions(record, ins_trim, counter)
+
+  ops = np.array([op for op, _ in record.cigartuples], dtype=np.int64)
+  lens = np.array([l for _, l in record.cigartuples], dtype=np.int64)
+  in_pair = _PAIR_OPS_QUERY[ops] | _PAIR_OPS_REF[ops]
+  pair_ops = np.repeat(ops[in_pair], lens[in_pair]).astype(np.uint8)
+  aln_len = len(pair_ops)
+
+  consumes_q = _PAIR_OPS_QUERY[pair_ops]
+  consumes_r = _PAIR_OPS_REF[pair_ops]
+
+  read_idx = np.full(aln_len, -1, dtype=np.int64)
+  read_idx[consumes_q] = np.arange(int(consumes_q.sum()))
+  ccs_idx = np.full(aln_len, -1, dtype=np.int64)
+  ccs_idx[consumes_r] = record.pos + np.arange(int(consumes_r.sum()))
+
+  new_seq = np.full(aln_len, GAP_BYTE, dtype=np.uint8)
+  new_seq[consumes_q] = np.frombuffer(
+      record.seq.encode('ascii'), dtype=np.uint8
+  )
+
+  strand = (
+      constants.Strand.REVERSE if record.is_reverse else constants.Strand.FORWARD
+  )
+
+  new_pw = np.zeros(aln_len, dtype=np.uint8)
+  new_ip = np.zeros(aln_len, dtype=np.uint8)
+  if not truth_range:
+    pw_vals = np.asarray(record.get_tag('pw'))
+    ip_vals = np.asarray(record.get_tag('ip'))
+    if strand == constants.Strand.REVERSE:
+      pw_vals = pw_vals[::-1]
+      ip_vals = ip_vals[::-1]
+    new_pw[consumes_q] = pw_vals.astype(np.uint8)
+    new_ip[consumes_q] = ip_vals.astype(np.uint8)
+    sn = np.asarray(record.get_tag('sn'))
+  else:
+    sn = np.empty(0, dtype=np.uint8)
+
+  # Per-position cigar with hard clips removed; same length as the pair
+  # arrays because hard clips consume neither query nor reference.
+  new_cigar = pair_ops
+
+  # Remove soft-clipped segments.
+  if int((new_cigar == constants.CSOFT_CLIP).sum()) > 0:
+    new_seq = new_seq.copy()
+    new_seq[new_cigar == constants.CSOFT_CLIP] = GAP_BYTE
+    qstart = int(np.where(read_idx == record.query_alignment_start)[0][0])
+    qend = int(np.where(read_idx == record.query_alignment_end - 1)[0][0]) + 1
+    if truth_range:
+      op0, len0 = record.cigartuples[0]
+      if op0 == constants.CSOFT_CLIP:
+        truth_range['begin'] += len0
+      opn, lenn = record.cigartuples[-1]
+      if opn == constants.CSOFT_CLIP:
+        truth_range['end'] -= lenn
+    new_seq = new_seq[qstart:qend]
+    new_pw = new_pw[qstart:qend]
+    new_ip = new_ip[qstart:qend]
+    new_cigar = new_cigar[qstart:qend]
+    ccs_idx = ccs_idx[qstart:qend]
+
+  # Indent by alignment start so array index ~ CCS coordinate.
+  if record.pos:
+    pad = record.pos
+    new_seq = np.concatenate([np.full(pad, GAP_BYTE, dtype=np.uint8), new_seq])
+    new_cigar = np.concatenate(
+        [np.full(pad, constants.CREF_SKIP, dtype=np.uint8), new_cigar]
+    )
+    new_pw = np.concatenate([np.zeros(pad, dtype=np.uint8), new_pw])
+    new_ip = np.concatenate([np.zeros(pad, dtype=np.uint8), new_ip])
+    ccs_idx = np.concatenate([np.full(pad, -1, dtype=np.int64), ccs_idx])
+
+  return AlignedRead(
+      name=record.qname,
+      bases=new_seq,
+      cigar=new_cigar,
+      pw=new_pw,
+      ip=new_ip,
+      sn=sn,
+      strand=int(strand),
+      ccs_idx=ccs_idx,
+      truth_range=truth_range,
+  )
+
+
+def construct_ccs_read(ccs_record: bam.BamRecord) -> AlignedRead:
+  """Builds the CCS AlignedRead with qualities and aux tags.
+
+  (reference: pre_lib.py:966-998)
+  """
+  seq = np.frombuffer(ccs_record.seq.encode('ascii'), dtype=np.uint8)
+  n = len(seq)
+  tags = ccs_record.tags
+  return AlignedRead(
+      name=ccs_record.qname,
+      bases=seq.copy(),
+      cigar=np.full(n, constants.CMATCH, dtype=np.uint8),
+      pw=np.zeros(n, dtype=np.uint8),
+      ip=np.zeros(n, dtype=np.uint8),
+      sn=np.zeros(4, dtype=np.int64),
+      strand=int(constants.Strand.UNKNOWN),
+      ec=tags.get('ec'),
+      np_num_passes=tags.get('np'),
+      rq=tags.get('rq'),
+      rg=tags.get('RG'),
+      ccs_idx=np.arange(n, dtype=np.int64),
+      base_quality_scores=np.asarray(ccs_record.qual, dtype=np.int64),
+  )
