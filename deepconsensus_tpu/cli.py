@@ -1,0 +1,172 @@
+"""Command-line dispatcher: preprocess | run | calibrate | filter_reads.
+
+Equivalent of the reference CLI (`reference: cli.py:50-122`), argparse-based.
+"""
+
+import argparse
+import logging
+import sys
+
+
+def _add_run_parser(sub):
+  p = sub.add_parser('run', help='Run polishing inference: BAMs -> FASTQ/BAM.')
+  p.add_argument('--subreads_to_ccs', required=True)
+  p.add_argument('--ccs_bam', required=True)
+  p.add_argument('--checkpoint', required=True)
+  p.add_argument('--output', required=True)
+  p.add_argument('--batch_size', type=int, default=1024)
+  p.add_argument('--batch_zmws', type=int, default=100)
+  p.add_argument('--skip_windows_above', type=int, default=45)
+  p.add_argument('--min_quality', type=int, default=20)
+  p.add_argument('--min_length', type=int, default=0)
+  p.add_argument('--ins_trim', type=int, default=5)
+  p.add_argument('--use_ccs_smart_windows', action='store_true')
+  p.add_argument('--cpus', type=int, default=0)
+  p.add_argument('--limit', type=int, default=None)
+  p.add_argument('--max_base_quality', type=int, default=93)
+  p.add_argument('--dc_calibration', default=None)
+  p.add_argument('--ccs_calibration', default='skip')
+  p.add_argument(
+      '--dtype',
+      default='float32',
+      choices=['float32', 'bfloat16'],
+      help='Activation dtype for the transformer forward pass.',
+  )
+  return p
+
+
+def _add_preprocess_parser(sub):
+  p = sub.add_parser(
+      'preprocess', help='Generate training/inference tfrecord examples.'
+  )
+  p.add_argument('--subreads_to_ccs', required=True)
+  p.add_argument('--ccs_bam', required=True)
+  p.add_argument('--output', required=True)
+  p.add_argument('--truth_to_ccs', default=None)
+  p.add_argument('--truth_bed', default=None)
+  p.add_argument('--truth_split', default=None)
+  p.add_argument('--cpus', type=int, default=0)
+  p.add_argument('--limit', type=int, default=0)
+  p.add_argument('--ins_trim', type=int, default=5)
+  p.add_argument('--use_ccs_smart_windows', action='store_true')
+  p.add_argument('--use_ccs_bq', action='store_true')
+  p.add_argument('--max_passes', type=int, default=20)
+  p.add_argument('--max_length', type=int, default=100)
+  p.add_argument('--bam_reader_threads', type=int, default=8)
+  return p
+
+
+def _add_calibrate_parser(sub):
+  p = sub.add_parser(
+      'calibrate', help='Compute empirical-vs-predicted base quality stats.'
+  )
+  p.add_argument('--bam', required=True, help='Reads aligned to the truth.')
+  p.add_argument('--fasta', required=True, help='Truth reference FASTA (.fai).')
+  p.add_argument('--output_csv', required=True)
+  p.add_argument('--region', default=None)
+  p.add_argument('--interval_size', type=int, default=100000)
+  p.add_argument('--cpus', type=int, default=0)
+  return p
+
+
+def _add_filter_parser(sub):
+  p = sub.add_parser('filter_reads', help='Filter FASTQ/BAM by read quality.')
+  p.add_argument('--input_seq', '-i', required=True)
+  p.add_argument('--output_fastq', '-o', required=True)
+  p.add_argument('--quality_threshold', '-q', type=int, required=True)
+  return p
+
+
+def main(argv=None) -> int:
+  logging.basicConfig(
+      level=logging.INFO,
+      format='%(asctime)s %(levelname)s %(name)s: %(message)s',
+  )
+  parser = argparse.ArgumentParser(
+      prog='deepconsensus_tpu',
+      description=(
+          'TPU-native DeepConsensus: transform PacBio subreads into '
+          'polished CCS reads.'
+      ),
+  )
+  sub = parser.add_subparsers(dest='command', required=True)
+  _add_run_parser(sub)
+  _add_preprocess_parser(sub)
+  _add_calibrate_parser(sub)
+  _add_filter_parser(sub)
+  args = parser.parse_args(argv)
+
+  if args.command == 'run':
+    import jax.numpy as jnp
+
+    from deepconsensus_tpu.inference import engine
+
+    outcome = engine.run_inference(
+        subreads_to_ccs=args.subreads_to_ccs,
+        ccs_bam=args.ccs_bam,
+        checkpoint_path=args.checkpoint,
+        output=args.output,
+        batch_size=args.batch_size,
+        batch_zmws=args.batch_zmws,
+        skip_windows_above=args.skip_windows_above,
+        min_quality=args.min_quality,
+        min_length=args.min_length,
+        ins_trim=args.ins_trim,
+        use_ccs_smart_windows=args.use_ccs_smart_windows,
+        cpus=args.cpus,
+        limit=args.limit,
+        max_base_quality=args.max_base_quality,
+        dc_calibration=args.dc_calibration,
+        ccs_calibration=args.ccs_calibration,
+        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
+    )
+    return 0 if outcome.success else 1
+
+  if args.command == 'preprocess':
+    from deepconsensus_tpu.preprocess import driver
+
+    driver.run_preprocess(
+        subreads_to_ccs=args.subreads_to_ccs,
+        ccs_bam=args.ccs_bam,
+        output=args.output,
+        truth_to_ccs=args.truth_to_ccs,
+        truth_bed=args.truth_bed,
+        truth_split=args.truth_split,
+        cpus=args.cpus,
+        limit=args.limit,
+        ins_trim=args.ins_trim,
+        use_ccs_smart_windows=args.use_ccs_smart_windows,
+        use_ccs_bq=args.use_ccs_bq,
+        max_passes=args.max_passes,
+        max_length=args.max_length,
+        bam_reader_threads=args.bam_reader_threads,
+    )
+    return 0
+
+  if args.command == 'calibrate':
+    from deepconsensus_tpu.calibration import calculate_baseq
+
+    calculate_baseq.run(
+        bam=args.bam,
+        fasta=args.fasta,
+        output_csv=args.output_csv,
+        region=args.region,
+        interval_size=args.interval_size,
+        cpus=args.cpus,
+    )
+    return 0
+
+  if args.command == 'filter_reads':
+    from deepconsensus_tpu.calibration import filter_reads
+
+    filter_reads.filter_bam_or_fastq_by_quality(
+        args.input_seq, args.output_fastq, args.quality_threshold
+    )
+    return 0
+
+  parser.error(f'unknown command {args.command}')
+  return 2
+
+
+if __name__ == '__main__':
+  sys.exit(main())

@@ -1,0 +1,495 @@
+"""Streaming inference engine: BAM -> windows -> jit forward -> FASTQ/BAM.
+
+TPU-native redesign of the reference's quick_inference
+(`reference: inference/quick_inference.py`): the device work is a single
+jitted forward over fixed-shape batches (partial batches are padded, so one
+compilation serves the whole run), the device->host transfer is just the
+argmax ids and max-probabilities rather than full softmax tensors, and the
+host side is the vectorized featurizer. Multi-chip scaling shards the batch
+axis over a jax Mesh (see deepconsensus_tpu/parallel/mesh.py).
+"""
+
+import collections
+import concurrent.futures
+import csv
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepconsensus_tpu import constants
+from deepconsensus_tpu.calibration import calibration as calibration_lib
+from deepconsensus_tpu.io import bam, fastq
+from deepconsensus_tpu.models import checkpoint as ckpt_lib
+from deepconsensus_tpu.models import configs, data
+from deepconsensus_tpu.models import model as model_lib
+from deepconsensus_tpu.postprocess import stitch
+from deepconsensus_tpu.preprocess import feeder, windows
+from deepconsensus_tpu.utils import phred
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class InferenceOptions:
+  """Inference-wide options (reference: quick_inference.py:238-275)."""
+
+  max_length: int
+  example_height: int
+  max_passes: int
+  min_quality: int = 20
+  min_length: int = 0
+  batch_size: int = 1024
+  use_ccs_bq: bool = False
+  cpus: int = 0
+  skip_windows_above: int = 45
+  max_base_quality: int = 93
+  dc_calibration_values: calibration_lib.QualityCalibrationValues = (
+      dataclasses.field(
+          default_factory=lambda: calibration_lib.parse_calibration_string(
+              'skip'
+          )
+      )
+  )
+  ccs_calibration_values: calibration_lib.QualityCalibrationValues = (
+      dataclasses.field(
+          default_factory=lambda: calibration_lib.parse_calibration_string(
+              'skip'
+          )
+      )
+  )
+
+
+class Timing:
+  """Per-stage runtime log -> {output}.runtime.csv (quick_inference.py:278-299)."""
+
+  def __init__(self):
+    self.rows: List[Dict[str, Any]] = []
+
+  def log(self, stage, item, before, num_examples=None, num_subreads=None,
+          num_zmws=None):
+    self.rows.append({
+        'item': item,
+        'stage': stage,
+        'runtime': time.time() - before,
+        'num_zmws': num_zmws,
+        'num_examples': num_examples,
+        'num_subreads': num_subreads,
+    })
+
+  def save(self, path: str) -> None:
+    if not self.rows:
+      return
+    with open(path, 'w', newline='') as f:
+      writer = csv.DictWriter(f, fieldnames=list(self.rows[0]))
+      writer.writeheader()
+      writer.writerows(self.rows)
+
+
+class ModelRunner:
+  """Owns the jitted forward pass over fixed-shape batches.
+
+  Device output is (argmax ids int32, max probability f32) per position —
+  the minimal tensors the Q-score math needs.
+  """
+
+  def __init__(self, params, variables, batch_size: int, dtype=jnp.float32):
+    self.params = params
+    self.batch_size = batch_size
+    self.model = model_lib.get_model(params, dtype=dtype)
+    self.variables = variables
+
+    def forward(variables, rows):
+      probs = self.model.apply(variables, rows, deterministic=True)
+      probs = probs.astype(jnp.float32)
+      return jnp.argmax(probs, axis=-1).astype(jnp.int32), jnp.max(
+          probs, axis=-1
+      )
+
+    self._forward = jax.jit(forward)
+
+  def predict(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Runs the forward on a (possibly partial) batch; pads to static shape."""
+    n = rows.shape[0]
+    padded = data.pad_batch(rows, self.batch_size)
+    ids, maxp = self._forward(self.variables, padded)
+    ids, maxp = jax.device_get((ids, maxp))
+    return ids[:n], maxp[:n]
+
+
+def quality_scores_from_probs(
+    maxp: np.ndarray, options: InferenceOptions
+) -> np.ndarray:
+  """Softmax max-prob -> calibrated, clipped, rounded phred ints.
+
+  Exactly the reference op sequence (quick_inference.py:377-389).
+  """
+  error_prob = 1.0 - maxp
+  with np.errstate(divide='ignore'):
+    quality_scores = -10.0 * np.log10(error_prob)
+  if options.dc_calibration_values.enabled:
+    quality_scores = calibration_lib.calibrate_quality_scores(
+        quality_scores, options.dc_calibration_values
+    )
+  quality_scores = np.minimum(quality_scores, options.max_base_quality)
+  quality_scores = np.round(quality_scores, decimals=0)
+  quality_scores = quality_scores.astype(np.int32)
+  return np.maximum(quality_scores, 0)
+
+
+def run_model_on_examples(
+    feature_dicts: List[Dict[str, Any]],
+    runner: ModelRunner,
+    options: InferenceOptions,
+) -> List[stitch.DCModelOutput]:
+  """Batches windows through the model (quick_inference.py:341-415)."""
+  predictions = []
+  for batch in data.batch_feature_dicts(
+      feature_dicts, runner.params, options.batch_size
+  ):
+    if not len(batch['rows']):
+      continue
+    ids, maxp = runner.predict(np.asarray(batch['rows']))
+    quality_scores = quality_scores_from_probs(maxp, options)
+    for y_pred, qs, window_pos, name, ec, np_, rq, rg in zip(
+        ids,
+        quality_scores,
+        batch['window_pos'],
+        batch['name'],
+        batch['ec'],
+        batch['np_num_passes'],
+        batch['rq'],
+        batch['rg'],
+    ):
+      predictions.append(
+          stitch.DCModelOutput(
+              window_pos=window_pos,
+              molecule_name=name,
+              ec=ec,
+              np_num_passes=np_,
+              rq=rq,
+              rg=rg,
+              sequence=phred.encoded_sequence_to_string(y_pred),
+              quality_string=phred.quality_scores_to_string(qs),
+          )
+      )
+  return predictions
+
+
+def process_skipped_window(
+    feature_dict: Dict[str, Any], options: InferenceOptions
+) -> stitch.DCModelOutput:
+  """Adopts the CCS sequence + qualities for a window skipped by triage.
+
+  (reference: quick_inference.py:567-594)
+  """
+  rows = feature_dict['subreads']
+  ccs_idx = configs.get_indices(options.max_passes, options.use_ccs_bq)[4]
+  ccs = rows[ccs_idx[0], :, 0]
+  ccs_seq = phred.encoded_sequence_to_string(ccs.astype(np.int64))
+  ccs_quality_scores = feature_dict['ccs_base_quality_scores']
+  if options.ccs_calibration_values.enabled:
+    ccs_quality_scores = calibration_lib.calibrate_quality_scores(
+        ccs_quality_scores, options.ccs_calibration_values
+    )
+  ccs_quality_scores = np.minimum(ccs_quality_scores, options.max_base_quality)
+  ccs_quality_scores = ccs_quality_scores.astype(np.int32)
+  return stitch.DCModelOutput(
+      window_pos=feature_dict['window_pos'],
+      molecule_name=feature_dict['name'],
+      sequence=ccs_seq,
+      quality_string=phred.quality_scores_to_string(ccs_quality_scores),
+      ec=feature_dict['ec'],
+      np_num_passes=feature_dict['np_num_passes'],
+      rq=feature_dict['rq'],
+      rg=feature_dict['rg'],
+  )
+
+
+def preprocess_one_zmw(one_zmw) -> Tuple[List[Dict[str, Any]], Any]:
+  """Featurizes one ZMW into window feature dicts (pool worker entry)."""
+  reads, zmw, dc_config, window_widths = one_zmw
+  stack = windows.subreads_to_zmw_stack(
+      subreads=reads,
+      ccs_seqname=zmw,
+      dc_config=dc_config,
+      window_widths=window_widths,
+  )
+  feature_dicts = [wf.to_dict() for wf in stack.iter_windows()]
+  return feature_dicts, stack.counter
+
+
+def triage_windows(
+    feature_dicts_for_zmws, options: InferenceOptions
+) -> Tuple[List[Dict[str, Any]], List[stitch.DCModelOutput]]:
+  """Splits windows into model inputs vs CCS-adopting skips.
+
+  (reference: quick_inference.py:655-677)
+  """
+  for_model = []
+  skipped = []
+  for one_zmw in feature_dicts_for_zmws:
+    for window in one_zmw:
+      if window['overflow']:
+        skipped.append(process_skipped_window(window, options))
+        continue
+      if options.skip_windows_above:
+        avg_q = phred.avg_phred(window['ccs_base_quality_scores'])
+        if avg_q > options.skip_windows_above:
+          skipped.append(process_skipped_window(window, options))
+          continue
+      for_model.append(window)
+  return for_model, skipped
+
+
+class OutputWriter:
+  """FASTQ or unmapped-BAM output sink (quick_inference.py:877-897,738-760)."""
+
+  def __init__(self, output_fname: str, ccs_bam_path: str):
+    self.is_bam = output_fname.endswith('.bam')
+    if not (
+        output_fname.endswith('.fq')
+        or output_fname.endswith('.fastq')
+        or self.is_bam
+    ):
+      raise NameError('Filename must end in .fq, .fastq, or .bam')
+    out_dir = os.path.dirname(output_fname)
+    if out_dir and not os.path.exists(out_dir):
+      os.makedirs(out_dir, exist_ok=True)
+    if self.is_bam:
+      header = bam.BamReader(ccs_bam_path).header
+      self._writer = bam.BamWriter(output_fname, header)
+    else:
+      self._writer = fastq.FastqWriter(output_fname)
+
+  def write(self, fastq_string: str, first_pred: stitch.DCModelOutput) -> None:
+    if not self.is_bam:
+      self._writer.write_str(fastq_string)
+      return
+    name, seq, _, qual = fastq_string.splitlines()
+    name = name[1:]
+    qual_arr = np.frombuffer(qual.encode(), np.uint8) - 33
+    zmw = int(name.split('/')[1])
+    tags = b''.join([
+        bam.encode_tag('ec', first_pred.ec or -1, 'f'),
+        bam.encode_tag('np', first_pred.np_num_passes, 'i'),
+        bam.encode_tag('rq', first_pred.rq, 'f'),
+        bam.encode_tag('RG', first_pred.rg, 'Z'),
+        bam.encode_tag('zm', zmw, 'i'),
+    ])
+    blob = bam.build_record_blob(
+        qname=name, flag=4, seq=seq, qual=qual_arr, tags=tags, mapq=255
+    )
+    self._writer.write_blob(blob)
+
+  def close(self):
+    self._writer.close()
+
+
+def inference_on_n_zmws(
+    inputs: Sequence[Any],
+    runner: Optional[ModelRunner],
+    output_writer: OutputWriter,
+    options: InferenceOptions,
+    batch_name: str,
+    outcome_counter: stitch.OutcomeCounter,
+    stats_counter,
+    timing: Timing,
+    pool=None,
+) -> None:
+  """Full pipeline for one batch of ZMWs (quick_inference.py:598-774)."""
+  before_batch = time.time()
+  if pool is None:
+    outputs = [preprocess_one_zmw(z) for z in inputs]
+  else:
+    outputs = list(pool.map(preprocess_one_zmw, inputs))
+  feature_dicts_for_zmws, counters = zip(*outputs)
+  for c in counters:
+    stats_counter.update(c)
+  num_zmws = len(feature_dicts_for_zmws)
+  n_examples = sum(len(z) for z in feature_dicts_for_zmws)
+  n_subreads = sum(len(reads) for reads, *_ in inputs)
+  timing.log('preprocess', batch_name, before_batch, n_examples, n_subreads,
+             num_zmws)
+
+  before = time.time()
+  for_model, skipped_predictions = triage_windows(
+      feature_dicts_for_zmws, options
+  )
+  predictions_from_model = run_model_on_examples(for_model, runner, options)
+  predictions = predictions_from_model + skipped_predictions
+  timing.log('run_model', batch_name, before, n_examples, n_subreads, num_zmws)
+
+  before = time.time()
+  predictions.sort(key=lambda dc: (dc.molecule_name, dc.window_pos))
+  import itertools
+
+  for zmw, preds in itertools.groupby(
+      predictions, lambda p: p.molecule_name
+  ):
+    preds = list(preds)
+    fastq_string = stitch.stitch_to_fastq(
+        molecule_name=zmw,
+        predictions=preds,
+        max_length=options.max_length,
+        min_quality=options.min_quality,
+        min_length=options.min_length,
+        outcome_counter=outcome_counter,
+    )
+    if fastq_string:
+      output_writer.write(fastq_string, preds[0])
+  timing.log('stitch_and_write_fastq', batch_name, before, n_examples,
+             n_subreads, num_zmws)
+  logger.info(
+      'Processed a batch of %d ZMWs in %0.3f seconds',
+      len(inputs),
+      time.time() - before_batch,
+  )
+
+
+def load_model_for_inference(
+    checkpoint_path: str, batch_size: int, dtype=jnp.float32
+):
+  """Loads params.json + weights; returns (runner, params).
+
+  Accepts: an orbax checkpoint dir produced by this framework (contains
+  params.json beside it), or a reference TF checkpoint prefix (translated
+  via models/checkpoint.load_tf_checkpoint).
+  """
+  params = configs.read_params_from_json(checkpoint_path)
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  if os.path.isdir(checkpoint_path) and (
+      os.path.exists(os.path.join(checkpoint_path, '_CHECKPOINT_METADATA'))
+      or os.path.exists(os.path.join(checkpoint_path, 'd'))
+      or os.path.exists(os.path.join(checkpoint_path, 'manifest.ocdbt'))
+  ):
+    payload = ckpt_lib.load_checkpoint(
+        checkpoint_path, {'variables': jax.device_get(variables)}
+    )
+    variables = payload['variables']
+  elif os.path.isdir(checkpoint_path):
+    latest = ckpt_lib.latest_checkpoint(checkpoint_path)
+    if latest is None:
+      raise FileNotFoundError(f'no checkpoint under {checkpoint_path}')
+    payload = ckpt_lib.load_checkpoint(
+        latest, {'variables': jax.device_get(variables)}
+    )
+    variables = payload['variables']
+  else:
+    # TF checkpoint prefix (reference release format).
+    variables = ckpt_lib.load_tf_checkpoint(checkpoint_path, variables, params)
+  runner = ModelRunner(params, variables, batch_size, dtype=dtype)
+  return runner, params
+
+
+def run_inference(
+    subreads_to_ccs: str,
+    ccs_bam: str,
+    checkpoint_path: str,
+    output: str,
+    batch_size: int = 1024,
+    batch_zmws: int = 100,
+    skip_windows_above: int = 45,
+    min_quality: int = 20,
+    min_length: int = 0,
+    ins_trim: int = 5,
+    use_ccs_smart_windows: bool = False,
+    cpus: int = 0,
+    limit: Optional[int] = None,
+    max_base_quality: int = 93,
+    dc_calibration: Optional[str] = None,
+    ccs_calibration: str = 'skip',
+    dtype=jnp.float32,
+) -> stitch.OutcomeCounter:
+  """End-to-end inference run (reference: quick_inference.run, :794-963)."""
+  runner, params = load_model_for_inference(checkpoint_path, batch_size, dtype)
+
+  if dc_calibration is None:
+    dc_calibration = params.get('dc_calibration', 'skip')
+  dc_cal = calibration_lib.parse_calibration_string(dc_calibration)
+  ccs_cal = calibration_lib.parse_calibration_string(ccs_calibration)
+
+  dc_config = windows.DcConfig(
+      params.max_passes, params.max_length, params.use_ccs_bq
+  )
+  options = InferenceOptions(
+      max_length=params.max_length,
+      example_height=dc_config.tensor_height,
+      max_passes=params.max_passes,
+      min_quality=min_quality,
+      min_length=min_length,
+      batch_size=batch_size,
+      use_ccs_bq=params.use_ccs_bq,
+      cpus=cpus,
+      skip_windows_above=skip_windows_above,
+      max_base_quality=max_base_quality,
+      dc_calibration_values=dc_cal,
+      ccs_calibration_values=ccs_cal,
+  )
+
+  outcome_counter = stitch.OutcomeCounter()
+  stats_counter = collections.Counter()
+  timing = Timing()
+
+  pool = None
+  if cpus > 0:
+    pool = concurrent.futures.ProcessPoolExecutor(max_workers=cpus)
+  elif cpus < 0:
+    raise ValueError('cpus must be >= 0')
+
+  output_writer = OutputWriter(output, ccs_bam)
+
+  proc_feeder, main_counter = feeder.create_proc_feeder(
+      subreads_to_ccs=subreads_to_ccs,
+      ccs_bam=ccs_bam,
+      dc_config=dc_config,
+      ins_trim=ins_trim,
+      use_ccs_smart_windows=use_ccs_smart_windows,
+  )
+
+  before_all = time.time()
+  stored = []
+  zmw_counter = 0
+  batch_count = 0
+  for reads, zmw, cfg, split, window_widths in proc_feeder():
+    if limit and zmw_counter >= limit:
+      break
+    zmw_counter += 1
+    stored.append((reads, zmw, cfg, window_widths))
+    if batch_zmws and len(stored) >= batch_zmws:
+      inference_on_n_zmws(
+          stored, runner, output_writer, options, str(batch_count),
+          outcome_counter, stats_counter, timing, pool,
+      )
+      batch_count += 1
+      stored = []
+      logger.info(
+          'Processed %s ZMWs in %0.3f seconds',
+          zmw_counter,
+          time.time() - before_all,
+      )
+  if stored:
+    inference_on_n_zmws(
+        stored, runner, output_writer, options, str(batch_count),
+        outcome_counter, stats_counter, timing, pool,
+    )
+  if pool:
+    pool.shutdown(wait=True)
+  output_writer.close()
+
+  elapsed = time.time() - before_all
+  logger.info('Processed %s ZMWs in %0.3f seconds', zmw_counter, elapsed)
+  logger.info('Outcome counts: %s', outcome_counter)
+  stats_counter.update(main_counter)
+  timing.save(f'{output}.runtime.csv')
+  with open(f'{output}.inference.json', 'w') as f:
+    json.dump(dict(stats_counter), f, indent=True)
+  return outcome_counter

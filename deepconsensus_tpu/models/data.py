@@ -1,0 +1,130 @@
+"""Input formatting: the row-layout contract between featurizer and model.
+
+numpy implementation of the reference's tf.data-side example processing
+(`reference: models/data_providers.py:116-304`): row slicing, PW/IP/SN
+clipping, label gap removal, and fixed-shape batching for jit.
+"""
+
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from deepconsensus_tpu import constants
+from deepconsensus_tpu.io import example_pb
+from deepconsensus_tpu.models import configs
+
+
+def format_rows(subreads: np.ndarray, params) -> np.ndarray:
+  """Clips PW/IP/SN rows and re-concatenates (data_providers.py:128-184)."""
+  (
+      base_idx,
+      pw_idx,
+      ip_idx,
+      strand_idx,
+      ccs_idx,
+      ccs_bq_idx,
+      sn_idx,
+  ) = configs.get_indices(params.max_passes, params.use_ccs_bq)
+  base_rows = subreads[slice(*base_idx)]
+  pw_rows = subreads[slice(*pw_idx)]
+  ip_rows = subreads[slice(*ip_idx)]
+  strand_rows = subreads[slice(*strand_idx)]
+  ccs_rows = subreads[slice(*ccs_idx)]
+  ccs_bq_rows = subreads[slice(*ccs_bq_idx)]
+  sn_rows = subreads[slice(*sn_idx)]
+  if params.PW_MAX:
+    pw_rows = np.clip(pw_rows, 0, params.PW_MAX)
+  if params.IP_MAX:
+    ip_rows = np.clip(ip_rows, 0, params.IP_MAX)
+  if params.SN_MAX:
+    sn_rows = np.clip(sn_rows, 0, params.SN_MAX)
+  feats = [base_rows, pw_rows, ip_rows, strand_rows, ccs_rows]
+  if params.use_ccs_bq:
+    feats.append(ccs_bq_rows)
+  feats.append(sn_rows)
+  rows = np.concatenate(feats, axis=0)
+  assert rows.shape[0] == params.total_rows
+  return rows
+
+
+def remove_internal_gaps_and_shift(label: np.ndarray) -> np.ndarray:
+  """Left-shifts non-gap label tokens (data_providers.py:116-125)."""
+  label = np.squeeze(label)
+  keep = label[label != constants.GAP_INT]
+  out = np.zeros_like(label)
+  out[: len(keep)] = keep
+  return out
+
+
+def parse_example_bytes(
+    buf: bytes, inference: bool = False, max_length: int = 100
+) -> Dict[str, Any]:
+  """Decodes one serialized example into arrays (data_providers.py:226-297)."""
+  ex = example_pb.decode_example(buf)
+  shape = ex['subreads/shape'][1]
+  subreads = np.frombuffer(ex['subreads/encoded'][1][0], np.float32).reshape(
+      shape
+  )
+  out = {
+      'subreads': subreads,
+      'subreads/shape': shape,
+      'subreads/num_passes': int(ex['subreads/num_passes'][1][0]),
+      'name': ex['name'][1][0].decode(),
+      'window_pos': int(ex['window_pos'][1][0]),
+      'ccs_base_quality_scores': np.array(
+          ex['ccs_base_quality_scores'][1], dtype=np.int64
+      ),
+  }
+  if not inference:
+    label = np.frombuffer(ex['label/encoded'][1][0], np.float32).reshape(
+        ex['label/shape'][1]
+    )
+    out['label'] = label
+  del max_length
+  return out
+
+
+def process_feature_dict(features: Dict[str, Any], params) -> Dict[str, Any]:
+  """Formats one in-memory inference feature dict (data_providers.py:187-223)."""
+  rows = format_rows(features['subreads'], params)
+  return {
+      'rows': rows,
+      'label': np.array([]),
+      'num_passes': features['subreads/num_passes'],
+      'window_pos': features['window_pos'],
+      'name': features['name'],
+      'ccs_base_quality_scores': features['ccs_base_quality_scores'],
+      'ec': features['ec'],
+      'np_num_passes': features['np_num_passes'],
+      'rq': features['rq'],
+      'rg': features['rg'],
+  }
+
+
+def batch_feature_dicts(
+    feature_dicts: List[Dict[str, Any]],
+    params,
+    batch_size: int,
+) -> Iterator[Dict[str, Any]]:
+  """Stacks per-window dicts into dense batches (quick_inference.py:304-338)."""
+  processed = [process_feature_dict(f, params) for f in feature_dicts]
+  for i in range(0, len(processed), batch_size):
+    chunk = processed[i : i + batch_size]
+    batch = {}
+    for key in constants.DC_FEATURES:
+      vals = [x[key] for x in chunk]
+      if vals and key == 'rows':
+        batch[key] = np.stack(vals)
+      else:
+        batch[key] = vals
+    yield batch
+
+
+def pad_batch(rows: np.ndarray, batch_size: int) -> np.ndarray:
+  """Pads a partial batch to the static jit batch size with zeros."""
+  n = rows.shape[0]
+  if n == batch_size:
+    return rows
+  padded = np.zeros((batch_size,) + rows.shape[1:], dtype=rows.dtype)
+  padded[:n] = rows
+  return padded
