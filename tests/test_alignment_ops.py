@@ -1,0 +1,179 @@
+"""Alignment loss/metric tests, ported from the reference's hand-computed
+parameterized cases (reference: models/losses_and_metrics_test.py:283-607)."""
+
+import numpy as np
+import pytest
+
+from deepconsensus_tpu import constants
+from deepconsensus_tpu.ops import alignment
+
+
+def seq_to_array(seq):
+  return [constants.SEQ_VOCAB.index(c) for c in seq]
+
+
+def convert_seqs(sequences):
+  y_true, y_pred = sequences
+  y_true = np.array([seq_to_array(s) for s in y_true], dtype=np.float32)
+  ids = np.array([seq_to_array(s) for s in y_pred])
+  y_pred_scores = np.eye(constants.SEQ_VOCAB_SIZE, dtype=np.float32)[ids]
+  return y_true, y_pred_scores
+
+
+LOSS_CASES = [
+    # (true, pred, del_cost, loss_reg, width, expected)
+    ((['TTAGGC', 'AGCTGG'], ['TTAGGC', 'AGCTGG']), 1.0, None, None, 0.0),
+    (
+        (['TTAGGC    ', 'AGCTGG    '], ['TTAGGC    ', 'AGCTGG    ']),
+        1.0, None, None, 0.0,
+    ),
+    (
+        (['TTAGGCAT', 'AGCTGG  '], ['TTAGGCAT  ', 'AGCTGG    ']),
+        1.0, None, None, 0.0,
+    ),
+    ((['TTAGGC', 'AGCTGG'], ['T TA G G C', 'AGC    TGG']), 1.0, None, None, 0.0),
+    (
+        (['TTAGGC    ', 'AGCTGG    '], ['TTA G GC  ', 'AGC    TGG']),
+        1.0, None, None, 0.0,
+    ),
+    ((['TTAGGC', 'AGCTGG'], ['TTAGG ', 'GCTGG ']), 1.0, None, None, 1.0),
+    ((['TTAGGC', 'AGCTGG'], ['TAGGC ', 'AGCGG ']), 2.0, None, None, 2.0),
+    ((['TTAGGC', 'AGCTGG'], ['TTAG  ', 'GCGG  ']), 1.0, None, None, 2.0),
+    ((['TTAGGC', 'AGCTGG'], ['ATAGGC', 'TGCTGG']), 1.0, None, None, 16.118),
+    ((['TTAGGC', 'AGCTGG'], ['AAAGGC', 'TGCTGC']), 1.0, None, None, 32.236),
+    (
+        (
+            ['TTAGGC', 'ATCGAC', 'AGCTGG'],
+            ['TTAGGCA', 'ATCCGAC', 'CAGCTGG'],
+        ),
+        1.0, None, None, 16.118,
+    ),
+    ((['ATCG ', 'ATCG '], ['TCG  ', 'TCG  ']), 1.0, None, None, 1.0),
+    ((['ATCG ', 'ATCG '], ['TCG  ', 'TCG  ']), 1e9, None, None, 64.472),
+    # Banded cases.
+    ((['TTAGGC', 'AGCTGG'], ['TTAGGC', 'AGCTGG']), 1.0, None, 2, 0.0),
+    ((['TTAGGC', 'AGCTGG'], ['TTAGG ', 'GCTGG ']), 1.0, None, 2, 1.0),
+    (
+        (['TTAGGC    ', 'AGCTGG    '], ['TTAGGC    ', 'AGCTGG    ']),
+        1.0, None, 1, 0.0,
+    ),
+    (
+        (['TTAGGC   ', 'AGCTG   G'], ['T TAG G C', 'AGC   TGG']),
+        1.0, None, 8, 0.0,
+    ),
+    (
+        (['TTAGGC    ', 'AGCTGG    '], ['TTA G GC  ', 'AGC    TGG']),
+        1.0, None, 8, 0.0,
+    ),
+    ((['TTAGGC', 'AGCTGG'], ['AAAGGC', 'TGCTGC']), 1.0, None, 4, 32.236),
+    ((['TTA', 'GGC'], ['A  ', 'C  ']), 1.0, None, 2, 2.0),
+    ((['TTA', 'GGC'], ['A  ', 'C  ']), 1.0, None, 1, 18.118),
+]
+
+
+@pytest.mark.parametrize('case', LOSS_CASES)
+def test_alignment_loss(case):
+  sequences, del_cost, loss_reg, width, expected = case
+  y_true, y_pred_scores = convert_seqs(sequences)
+  loss = alignment.alignment_loss(
+      y_true, y_pred_scores, del_cost=del_cost, loss_reg=loss_reg, width=width
+  )
+  # Reference reduces with mean (keras Reduction.AUTO).
+  assert abs(float(np.mean(np.asarray(loss))) - expected) < 1e-2, (
+      f'{sequences}: got {np.mean(np.asarray(loss))}, want {expected}'
+  )
+
+
+METRIC_CASES = [
+    ((['TTAGGC', 'AGCTGG'], ['TTAGGC', 'AGCTGG']), (1.0, 1.0)),
+    ((['TTAGGC', 'AGCTGG'], ['AAAGGC', 'TGCTGC']), (0.667, 0.667)),
+    ((['TTAGGC', 'AGCTGG'], ['T TA G G C', 'AGC    TGG']), (1.0, 1.0)),
+    ((['TTAGGC', 'AGCTGG'], ['TTAGG ', 'GCTGG ']), (0.833, 0.833)),
+    (
+        (
+            ['TTAGGC', 'ATCGAC', 'AGCTGG'],
+            ['TTAGGCA', 'ATCCGAC', 'CAGCTGG'],
+        ),
+        (0.857, 0.857, 0.857),
+    ),
+    ((['ATCG ', 'ATCG '], ['TCG  ', 'TCG  ']), (0.75, 0.75)),
+    ((['ATCG ', 'ATCG '], ['     ', '     ']), (0.0, 0.0)),
+    ((['     ', '     '], ['ATCG ', 'ATCG ']), (0.0, 0.0)),
+    ((['A    ', 'T    '], ['     ', '     ']), (0.0, 0.0)),
+    ((['     ', '     '], ['A    ', 'T    ']), (0.0, 0.0)),
+    ((['     ', '     '], ['     ', '     ']), (1.0, 1.0)),
+]
+
+
+@pytest.mark.parametrize('case', METRIC_CASES)
+def test_alignment_metric_pid(case):
+  sequences, expected_pid = case
+  y_true, y_pred_scores = convert_seqs(sequences)
+  _, _, metric_values = alignment.alignment_metric(y_true, y_pred_scores)
+  pid = np.asarray(metric_values['pid'])
+  for i, want in enumerate(expected_pid):
+    assert abs(float(pid[i]) - want) < 1e-2, f'{sequences} idx {i}: {pid[i]}'
+
+
+def test_batch_identity_ccs_pred():
+  # Reference case: 3 mismatches in CCS, 6 in DC over multiple examples
+  # (losses_and_metrics_test.py:622-630).
+  pred = convert_seqs(((['CCCCCC', 'TGCTGG']), ['CCCCCC', 'TGCTGG']))[1]
+  ccs = np.array(
+      [seq_to_array('CCAGGC'), seq_to_array('TGCTGG')], dtype=np.float32
+  )
+  label = np.array(
+      [seq_to_array('TTAGGC'), seq_to_array('AGCTGG')], dtype=np.float32
+  )
+  identity_ccs, identity_pred = alignment.batch_identity_ccs_pred(
+      ccs, pred, label
+  )
+  assert abs(float(identity_pred) - 0.5) < 1e-3
+  assert abs(float(identity_ccs) - 0.75) < 1e-3
+
+
+def test_per_example_accuracy_with_gap_shifts():
+  # Reference PerExampleAccuracy 'all padding'/'left shift' semantics
+  # (losses_and_metrics_test.py:45-79): gap placement does not matter.
+  y_true = np.array([seq_to_array('ATCG  ')], dtype=np.float32)
+  pred_ids = np.array([seq_to_array('A TCG ')])
+  y_pred = np.eye(5, dtype=np.float32)[pred_ids]
+  correct, total = alignment.per_example_accuracy(y_true, y_pred)
+  assert int(correct) == 1 and int(total) == 1
+  pred_ids = np.array([seq_to_array('ATGG  ')])
+  y_pred = np.eye(5, dtype=np.float32)[pred_ids]
+  correct, total = alignment.per_example_accuracy(y_true, y_pred)
+  assert int(correct) == 0
+
+
+def test_left_shift_sequence():
+  y = np.array([[1, 0, 2, 0, 3]])
+  out = np.asarray(alignment.left_shift_sequence(y))
+  assert out.tolist() == [[1, 2, 3, 0, 0]]
+
+
+REFERENCE_ORACLE_BANDED = [
+    # Values captured from running the reference AlignmentLoss banded path
+    # (losses_and_metrics.py:475-547) on these inputs (loss_reg=0.1 soft
+    # values included; hard = loss_reg None).
+    ((['TTAGGC', 'AGCTGG'], ['TTAGG ', 'GCTGG ']), 2, [0.930686, 1.0000007]),
+    ((['TTA', 'GGC'], ['A  ', 'C  ']), 1, [17.938913, 17.938913]),
+]
+
+
+@pytest.mark.parametrize('case', REFERENCE_ORACLE_BANDED)
+def test_banded_soft_matches_reference_oracle(case):
+  sequences, width, expected = case
+  y_true, y_pred_scores = convert_seqs(sequences)
+  loss = alignment.alignment_loss(
+      y_true, y_pred_scores, del_cost=1.0, loss_reg=0.1, width=width
+  )
+  np.testing.assert_allclose(np.asarray(loss), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_distillation_loss_zero_for_identical():
+  logits = np.random.RandomState(0).randn(2, 7, 5).astype(np.float32)
+  loss = alignment.distillation_loss(logits, logits)
+  assert np.allclose(np.asarray(loss), 0.0)
+  loss_kl = alignment.distillation_loss(logits, logits, kind='kl_divergence')
+  assert np.allclose(np.asarray(loss_kl), 0.0, atol=1e-6)
