@@ -45,11 +45,18 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str, template: Any = None) -> Dict[str, Any]:
-  """Restores an orbax checkpoint payload ({'variables', 'opt_state'?, ...})."""
+  """Restores an orbax checkpoint payload ({'variables', 'opt_state'?, ...}).
+
+  A partial template (e.g. {'variables': ...} without opt_state, the
+  inference path) restores just those entries.
+  """
   ckptr = ocp.StandardCheckpointer()
+  full = ckptr.restore(os.path.abspath(path))
   if template is not None:
-    return ckptr.restore(os.path.abspath(path), template)
-  return ckptr.restore(os.path.abspath(path))
+    # Keep only the entries the caller asked for (e.g. inference loads
+    # 'variables' and drops the optimizer state).
+    return {k: full[k] for k in template if k in full}
+  return full
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

@@ -80,7 +80,9 @@ class ScaledEmbedding(nn.Module):
         (self.vocab_size, self.width),
         jnp.float32,
     )
-    out = jnp.take(table.astype(self.dtype), ids, axis=0)
+    # mode='clip' matches TF-on-TPU gather clamping for out-of-range ids
+    # (and avoids jnp.take's default NaN fill on malformed inputs).
+    out = jnp.take(table.astype(self.dtype), ids, axis=0, mode='clip')
     out = out * jnp.asarray(self.width**0.5, self.dtype)
     return out * (ids != 0)[..., None].astype(self.dtype)
 

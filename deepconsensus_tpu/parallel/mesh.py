@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers for data-parallel scale-out.
+
+The reference scales with tf.distribute strategies (MirroredStrategy /
+TPUStrategy, reference: models/model_train_custom_loop.py:333-347). The
+TPU-native equivalent is a single `jax.sharding.Mesh` with a `data` axis
+spanning all chips (ICI within a slice, DCN across hosts): parameters are
+replicated, the batch is sharded on axis 0, and XLA inserts the all-reduces
+(psum) for gradients — no hand-written collectives.
+
+The model here is ~9M params with hidden size 280, so tensor/pipeline
+parallelism would be pure overhead (SURVEY.md §2.11); the scaling dimension
+is the embarrassingly parallel window batch.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(num_devices: Optional[int] = None) -> Mesh:
+  """Builds a 1-D data-parallel mesh over the first num_devices devices."""
+  devices = jax.devices()
+  if num_devices is not None:
+    devices = devices[:num_devices]
+  return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+  """Shards the leading (batch) axis over the data axis."""
+  return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+  """Fully replicated sharding (for parameters and optimizer state)."""
+  return NamedSharding(mesh, P())
+
+
+def shard_params(variables, mesh: Mesh):
+  """Places a parameter pytree replicated across the mesh."""
+  sharding = replicated(mesh)
+  return jax.device_put(variables, sharding)
+
+
+def shard_batch(batch, mesh: Mesh):
+  """Places a host batch sharded along the data axis."""
+  sharding = batch_sharding(mesh)
+  return jax.tree_util.tree_map(
+      lambda x: jax.device_put(x, sharding), batch
+  )

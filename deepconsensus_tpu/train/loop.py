@@ -1,0 +1,402 @@
+"""Custom training loop: jitted train/eval steps, LAMB, checkpoints.
+
+Functional-JAX redesign of the reference's tf.distribute custom loop
+(`reference: models/model_train_custom_loop.py:93-347`,
+`models/model_utils.py:493-669`): one jitted train step (forward, alignment
+loss, grads, LAMB update, on-device metrics) runs under a data-parallel
+mesh — batch sharded on axis 0, params/opt-state replicated, XLA inserting
+the gradient all-reduces. Checkpoint/best-checkpoint/eval bookkeeping
+matches the reference's file contract (eval_checkpoint.txt,
+best_checkpoint.txt, checkpoint_metrics.tsv, params.json).
+"""
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import optax
+
+from deepconsensus_tpu import constants
+from deepconsensus_tpu.models import checkpoint as ckpt_lib
+from deepconsensus_tpu.models import configs, model as model_lib
+from deepconsensus_tpu.ops import alignment
+from deepconsensus_tpu.parallel import mesh as mesh_lib
+from deepconsensus_tpu.train import input_pipeline
+
+logger = logging.getLogger(__name__)
+
+
+def make_learning_rate_schedule(params, decay_steps: int):
+  """Polynomial decay with linear warmup (model_utils.py:621-669)."""
+  poly = optax.polynomial_schedule(
+      init_value=params.initial_learning_rate,
+      end_value=params.end_learning_rate,
+      power=1.0,
+      transition_steps=max(decay_steps, 1),
+  )
+  warmup_steps = int(params.warmup_steps)
+  if warmup_steps <= 0:
+    return poly
+  warmup = optax.linear_schedule(
+      init_value=0.0,
+      end_value=float(poly(warmup_steps)),
+      transition_steps=warmup_steps,
+  )
+  return optax.join_schedules([warmup, poly], [warmup_steps])
+
+
+def _decay_mask(params_tree):
+  """LAMB weight-decay mask: skip bias/norm params (model_utils.py:641-647)."""
+
+  def mask_path(path, _):
+    names = [str(getattr(k, 'key', k)) for k in path]
+    joined = '/'.join(names).lower()
+    return not ('bias' in joined or 'norm' in joined)
+
+  return jax.tree_util.tree_map_with_path(mask_path, params_tree)
+
+
+def make_optimizer(params, decay_steps: int):
+  """LAMB + schedule (reference uses tf-models' LAMB factory)."""
+  schedule = make_learning_rate_schedule(params, decay_steps)
+  tx = optax.lamb(
+      learning_rate=schedule,
+      b1=params.beta_1,
+      b2=params.beta_2,
+      eps=params.epsilon,
+      weight_decay=params.weight_decay_rate,
+      mask=_decay_mask,
+  )
+  return tx, schedule
+
+
+@dataclasses.dataclass
+class TrainState:
+  variables: Any
+  opt_state: Any
+  step: int
+
+
+def make_loss_fn(params):
+  """Selects the configured loss (model_utils.get_deepconsensus_loss)."""
+  if params.loss_function == 'alignment_loss':
+    width = params.get('band_width', None)
+
+    def loss_fn(labels, predictions):
+      return alignment.alignment_loss(
+          labels,
+          predictions,
+          del_cost=float(params.del_cost),
+          loss_reg=params.loss_reg,
+          width=width,
+      )
+
+    return loss_fn
+  if params.loss_function in ('xentropy', 'sparse_categorical_crossentropy'):
+    return alignment.xentropy_loss
+  raise ValueError(f'unknown loss_function {params.loss_function!r}')
+
+
+def build_train_step(model, tx, params, global_batch_size: int):
+  """Returns a jitted (state, rows, labels) -> (state, metrics) step."""
+  loss_fn = make_loss_fn(params)
+  ccs_slice = configs.get_indices(params.max_passes, params.use_ccs_bq)[4]
+
+  def compute_loss(variables, rows, labels):
+    preds = model.apply(variables, rows, deterministic=True)
+    per_example = loss_fn(labels, preds)
+    # compute_average_loss semantics: sum/global_batch
+    # (model_train_custom_loop.py:148-155).
+    return jnp.sum(per_example) / global_batch_size, preds
+
+  def step_metrics(rows, labels, preds):
+    ccs = rows[:, ccs_slice[0], :, 0]
+    identity_ccs, identity_pred = alignment.batch_identity_ccs_pred(
+        ccs, preds, labels
+    )
+    correct, total = alignment.per_example_accuracy(labels, preds)
+    return {
+        'correct_examples': correct,
+        'total_examples': total,
+        'identity_pred': identity_pred,
+        'identity_ccs': identity_ccs,
+    }
+
+  def train_step(variables, opt_state, rows, labels):
+    (loss, preds), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+        variables, rows, labels
+    )
+    updates, opt_state = tx.update(
+        grads['params'], opt_state, variables['params']
+    )
+    new_params = optax.apply_updates(variables['params'], updates)
+    variables = dict(variables, params=new_params)
+    metrics = step_metrics(rows, labels, preds)
+    metrics['loss'] = loss
+    return variables, opt_state, metrics
+
+  def eval_step(variables, rows, labels):
+    loss, preds = compute_loss(variables, rows, labels)
+    metrics = step_metrics(rows, labels, preds)
+    metrics['loss'] = loss
+    return metrics
+
+  return train_step, eval_step
+
+
+class MetricAccumulator:
+  """Host-side running aggregation of per-step metric dicts.
+
+  Mirrors the reference metric set: loss mean, per_example_accuracy,
+  alignment_identity (mean of batch identity), yield_over_ccs
+  (model_utils.py:69-96).
+  """
+
+  def __init__(self, quality_threshold: float = 0.997):
+    self.quality_threshold = quality_threshold
+    self.reset()
+
+  def reset(self):
+    self.loss_sum = 0.0
+    self.n_steps = 0
+    self.correct = 0
+    self.total = 0
+    self.identity_sum = 0.0
+    self.yield_dc = 0
+    self.yield_ccs = 0
+
+  def update(self, m: Dict[str, Any]):
+    self.loss_sum += float(m['loss'])
+    self.n_steps += 1
+    self.correct += int(m['correct_examples'])
+    self.total += int(m['total_examples'])
+    self.identity_sum += float(m['identity_pred'])
+    self.yield_dc += int(float(m['identity_pred']) >= self.quality_threshold)
+    self.yield_ccs += int(float(m['identity_ccs']) >= self.quality_threshold)
+
+  def result(self, prefix: str) -> Dict[str, float]:
+    n = max(self.n_steps, 1)
+    return {
+        f'{prefix}/loss': self.loss_sum / n,
+        f'{prefix}/per_example_accuracy': self.correct / max(self.total, 1),
+        f'{prefix}/alignment_identity': self.identity_sum / n,
+        f'{prefix}/yield_over_ccs': (
+            self.yield_dc / self.yield_ccs if self.yield_ccs else 0.0
+        ),
+    }
+
+
+def get_step_counts(params, eval_and_log_every_step: bool = False):
+  """(model_utils.py:493-510)"""
+  if eval_and_log_every_step:
+    return 1, 1
+  if params.limit <= 0:
+    return (
+        params.n_examples_train // params.batch_size,
+        params.n_examples_eval // params.batch_size,
+    )
+  return (
+      max(1, params.limit // params.batch_size),
+      max(1, params.limit // params.batch_size),
+  )
+
+
+def write_metrics_row(path: str, checkpoint_name: str, metrics: Dict[str, Any]):
+  """Appends a checkpoint_metrics.tsv row (model_utils.py:591-618)."""
+  exists = os.path.exists(path)
+  with open(path, 'a') as f:
+    if not exists:
+      f.write('checkpoint\t' + '\t'.join(metrics) + '\n')
+    f.write(
+        checkpoint_name
+        + '\t'
+        + '\t'.join(str(v) for v in metrics.values())
+        + '\n'
+    )
+
+
+def train(
+    out_dir: str,
+    params: ml_collections.ConfigDict,
+    num_devices: Optional[int] = None,
+    eval_and_log_every_step: bool = False,
+    write_checkpoint_metrics: bool = True,
+    initial_checkpoint: Optional[str] = None,
+    log_train_steps: int = 100,
+    log_eval_steps: int = 3000,
+) -> Dict[str, float]:
+  """Runs the full training loop; returns the last eval metrics."""
+  os.makedirs(out_dir, exist_ok=True)
+  configs.finalize_params(
+      params,
+      num_replicas=(num_devices or len(jax.devices())),
+      batch_scale=False,
+  )
+  frozen = params
+
+  mesh = mesh_lib.make_mesh(num_devices)
+  n_dev = mesh.devices.size
+  if frozen.batch_size % n_dev != 0 and n_dev > 1:
+    raise ValueError(
+        f'global batch {frozen.batch_size} not divisible by {n_dev} devices'
+    )
+
+  configs.save_params_json(frozen, os.path.join(out_dir, 'params.json'))
+
+  model = model_lib.get_model(frozen)
+  rng = jax.random.PRNGKey(frozen.seed)
+  variables = model_lib.init_params(model, frozen, rng)
+
+  steps_per_epoch, steps_per_eval = get_step_counts(
+      frozen, eval_and_log_every_step
+  )
+  total_train_steps = steps_per_epoch * frozen.num_epochs
+  decay_steps = steps_per_epoch * frozen.num_epochs_for_decay
+  tx, schedule = make_optimizer(frozen, decay_steps)
+
+  if initial_checkpoint:
+    payload = ckpt_lib.load_checkpoint(
+        initial_checkpoint, {'variables': jax.device_get(variables)}
+    )
+    variables = payload['variables']
+
+  opt_state = tx.init(variables['params'])
+
+  train_step, eval_step = build_train_step(
+      model, tx, frozen, frozen.batch_size
+  )
+  batch_shard = mesh_lib.batch_sharding(mesh)
+  repl = mesh_lib.replicated(mesh)
+  jit_train = jax.jit(
+      train_step,
+      in_shardings=(repl, repl, batch_shard, batch_shard),
+      out_shardings=(repl, repl, repl),
+      donate_argnums=(0, 1),
+  )
+  jit_eval = jax.jit(
+      eval_step,
+      in_shardings=(repl, batch_shard, batch_shard),
+      out_shardings=repl,
+  )
+  variables = mesh_lib.shard_params(variables, mesh)
+  opt_state = mesh_lib.shard_params(opt_state, mesh)
+
+  train_iter = input_pipeline.Prefetcher(
+      input_pipeline.example_stream(
+          frozen.train_path,
+          frozen,
+          frozen.batch_size,
+          shuffle_buffer=frozen.buffer_size,
+          seed=frozen.seed,
+      )
+  )
+  eval_iter = input_pipeline.Prefetcher(
+      input_pipeline.example_stream(
+          frozen.eval_path, frozen, frozen.batch_size, shuffle_buffer=0
+      )
+  )
+
+  train_acc = MetricAccumulator()
+  eval_acc = MetricAccumulator()
+  eval_checkpoint_path = os.path.join(out_dir, 'eval_checkpoint.txt')
+  metrics_tsv = os.path.join(out_dir, 'checkpoint_metrics.tsv')
+  scalars_path = os.path.join(out_dir, 'scalars.jsonl')
+  scalars_f = open(scalars_path, 'a')
+
+  max_main_metric = 0.0
+  step = 0
+  last_eval_metrics: Dict[str, float] = {}
+  t_start = time.time()
+  for epoch in range(frozen.num_epochs):
+    logger.info('Starting epoch %d', epoch)
+    for step_train in range(steps_per_epoch):
+      rows, labels = next(train_iter)
+      rows = mesh_lib.shard_batch(rows, mesh)
+      labels = mesh_lib.shard_batch(labels, mesh)
+      variables, opt_state, metrics = jit_train(
+          variables, opt_state, rows, labels
+      )
+      train_acc.update(jax.device_get(metrics))
+      step += 1
+      if step % log_train_steps == 0:
+        result = train_acc.result('train')
+        result['train/steps_per_second'] = log_train_steps / (
+            time.time() - t_start
+        )
+        result['train/learning_rate'] = float(schedule(step))
+        result.update(epoch=epoch, step=step)
+        logger.info('step %d: %s', step, result)
+        scalars_f.write(json.dumps(result) + '\n')
+        scalars_f.flush()
+        train_acc.reset()
+        t_start = time.time()
+
+      if step % log_eval_steps == 0 or step == total_train_steps:
+        eval_acc.reset()
+        for _ in range(steps_per_eval):
+          erows, elabels = next(eval_iter)
+          erows = mesh_lib.shard_batch(erows, mesh)
+          elabels = mesh_lib.shard_batch(elabels, mesh)
+          eval_acc.update(jax.device_get(jit_eval(variables, erows, elabels)))
+        eval_metrics = eval_acc.result('eval')
+        last_eval_metrics = eval_metrics
+        logger.info('eval @%d: %s', step, eval_metrics)
+        scalars_f.write(
+            json.dumps(dict(eval_metrics, step=step, epoch=epoch)) + '\n'
+        )
+        scalars_f.flush()
+
+        ckpt_name = ckpt_lib.save_checkpoint(
+            out_dir,
+            jax.device_get(variables),
+            frozen,
+            step=step,
+            opt_state=jax.device_get(opt_state),
+        )
+        with open(eval_checkpoint_path, 'w') as f:
+          f.write(f'{ckpt_name}\t{epoch}\t{step_train}')
+        if write_checkpoint_metrics:
+          write_metrics_row(metrics_tsv, os.path.basename(ckpt_name),
+                            eval_metrics)
+        main_metric = eval_metrics[constants.MAIN_EVAL_METRIC_NAME]
+        if main_metric >= max_main_metric:
+          max_main_metric = main_metric
+          with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
+            f.write(os.path.basename(ckpt_name))
+        t_start = time.time()
+
+  # Always leave a final checkpoint (covers runs shorter than
+  # log_eval_steps, e.g. the reference's smoke-test configuration).
+  if not last_eval_metrics:
+    eval_acc.reset()
+    for _ in range(steps_per_eval):
+      erows, elabels = next(eval_iter)
+      erows = mesh_lib.shard_batch(erows, mesh)
+      elabels = mesh_lib.shard_batch(elabels, mesh)
+      eval_acc.update(jax.device_get(jit_eval(variables, erows, elabels)))
+    last_eval_metrics = eval_acc.result('eval')
+    ckpt_name = ckpt_lib.save_checkpoint(
+        out_dir,
+        jax.device_get(variables),
+        frozen,
+        step=step,
+        opt_state=jax.device_get(opt_state),
+    )
+    with open(eval_checkpoint_path, 'w') as f:
+      f.write(f'{ckpt_name}\t{frozen.num_epochs - 1}\t{step}')
+    if write_checkpoint_metrics:
+      write_metrics_row(
+          metrics_tsv, os.path.basename(ckpt_name), last_eval_metrics
+      )
+    with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
+      f.write(os.path.basename(ckpt_name))
+
+  scalars_f.close()
+  return last_eval_metrics
