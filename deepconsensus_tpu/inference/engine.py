@@ -95,8 +95,11 @@ class Timing:
 class ModelRunner:
   """Owns the jitted forward pass over fixed-shape batches.
 
-  Device output is (argmax ids int32, max probability f32) per position —
-  the minimal tensors the Q-score math needs.
+  Host->device transport uses the compact de-duplicated feature encoding
+  (models/data.compact_from_rows; ~5.5x less data than the dense f32 tile —
+  critical when the chip sits behind a network link). Device output is
+  (argmax ids int8, max probability f32) per position — the minimal tensors
+  the Q-score math needs.
   """
 
   def __init__(self, params, variables, batch_size: int, dtype=jnp.float32):
@@ -104,11 +107,23 @@ class ModelRunner:
     self.batch_size = batch_size
     self.model = model_lib.get_model(params, dtype=dtype)
     self.variables = variables
+    self._use_ccs_bq = bool(params.use_ccs_bq)
 
-    def forward(variables, rows):
-      probs = self.model.apply(variables, rows, deterministic=True)
-      probs = probs.astype(jnp.float32)
-      return jnp.argmax(probs, axis=-1).astype(jnp.int32), jnp.max(
+    def forward(variables, compact):
+      outputs = self.model.apply(
+          variables,
+          compact['bases'],
+          compact['pw'],
+          compact['ip'],
+          compact['strand'],
+          compact['ccs'],
+          compact['sn'],
+          compact.get('ccs_bq'),
+          deterministic=True,
+          method='compact_outputs',
+      )
+      probs = jax.nn.softmax(outputs['logits'].astype(jnp.float32), axis=-1)
+      return jnp.argmax(probs, axis=-1).astype(jnp.int8), jnp.max(
           probs, axis=-1
       )
 
@@ -118,7 +133,8 @@ class ModelRunner:
     """Runs the forward on a (possibly partial) batch; pads to static shape."""
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size)
-    ids, maxp = self._forward(self.variables, padded)
+    compact = data.compact_from_rows(padded, self.params)
+    ids, maxp = self._forward(self.variables, compact)
     ids, maxp = jax.device_get((ids, maxp))
     return ids[:n], maxp[:n]
 

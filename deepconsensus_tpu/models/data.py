@@ -120,6 +120,37 @@ def batch_feature_dicts(
     yield batch
 
 
+def compact_from_rows(rows: np.ndarray, params) -> Dict[str, np.ndarray]:
+  """De-duplicates a dense rows batch into compact device-transport arrays.
+
+  rows: (B, total_rows, L, 1) float32 (already clipped by format_rows).
+  Returns uint8/uint16 integer features ~5.5x smaller than the dense f32
+  tile; strand and SN are constant along the window in the dense layout so
+  only one value per subread / per window is shipped.
+  """
+  (
+      base_idx,
+      pw_idx,
+      ip_idx,
+      strand_idx,
+      ccs_idx,
+      ccs_bq_idx,
+      sn_idx,
+  ) = configs.get_indices(params.max_passes, params.use_ccs_bq)
+  x = rows[..., 0]
+  out = {
+      'bases': x[:, slice(*base_idx)].astype(np.uint8),
+      'pw': x[:, slice(*pw_idx)].astype(np.uint8),
+      'ip': x[:, slice(*ip_idx)].astype(np.uint8),
+      'strand': x[:, slice(*strand_idx), 0].astype(np.uint8),
+      'ccs': x[:, ccs_idx[0]].astype(np.uint8),
+      'sn': x[:, slice(*sn_idx), 0].astype(np.uint16),
+  }
+  if params.use_ccs_bq:
+    out['ccs_bq'] = x[:, ccs_bq_idx[0]].astype(np.int16)
+  return out
+
+
 def pad_batch(rows: np.ndarray, batch_size: int) -> np.ndarray:
   """Pads a partial batch to the static jit batch size with zeros."""
   n = rows.shape[0]

@@ -281,15 +281,78 @@ class EncoderStack(nn.Module):
 class LearnedValuesTransformer(nn.Module):
   """The production model: per-feature embeddings + condenser + encoder.
 
-  Input: rows tensor (batch, total_rows, length, 1) float32, row layout per
-  DcConfig. Output: softmax over the 5-token vocab per position.
-  (reference: networks.py:368-520 'transformer_learn_values')
+  Two equivalent input paths share the same parameters:
+  * `__call__`/`intermediate_outputs`: the dense rows tensor
+    (batch, total_rows, length, 1) float32 with the DcConfig row layout —
+    the reference's on-disk example format (networks.py:368-520).
+  * `compact_outputs`: de-duplicated integer features (bases/pw/ip uint-ish
+    per subread row, strand per subread, sn per window) — ~5.5x less data
+    across the host->device link; mathematically identical because the
+    strand/sn rows of the dense layout are constant along the window.
   """
 
   params: ml_collections.FrozenConfigDict
   dtype: Any = jnp.float32
 
-  @nn.compact
+  def setup(self):
+    p = self.params
+    self.bases_embedding = ScaledEmbedding(
+        constants.SEQ_VOCAB_SIZE, p.per_base_hidden_size, self.dtype,
+        name='bases_embedding',
+    )
+    if p.use_pw:
+      self.pw_embedding = ScaledEmbedding(
+          p.PW_MAX + 1, p.pw_hidden_size, self.dtype, name='pw_embedding'
+      )
+    if p.use_ip:
+      self.ip_embedding = ScaledEmbedding(
+          p.IP_MAX + 1, p.ip_hidden_size, self.dtype, name='ip_embedding'
+      )
+    if p.use_strand:
+      self.strand_embedding = ScaledEmbedding(
+          p.STRAND_MAX + 1, p.strand_hidden_size, self.dtype,
+          name='strand_embedding',
+      )
+    if p.use_ccs_bq:
+      self.ccs_bq_embedding = ScaledEmbedding(
+          p.CCS_BQ_MAX, p.ccs_bq_hidden_size, self.dtype,
+          name='ccs_bq_embedding',
+      )
+    if p.use_sn:
+      self.sn_embedding = ScaledEmbedding(
+          p.SN_MAX + 1, p.sn_hidden_size, self.dtype, name='sn_embedding'
+      )
+    if p.condense_transformer_input:
+      self.condenser = nn.Dense(
+          p.transformer_input_size, use_bias=False, dtype=self.dtype,
+          param_dtype=jnp.float32, name='condenser',
+      )
+    self.encoder_stack = EncoderStack(
+        self.params, self.dtype, name='encoder_stack'
+    )
+    self.logits_layer = nn.Dense(
+        constants.SEQ_VOCAB_SIZE, dtype=jnp.float32, param_dtype=jnp.float32,
+        name='logits',
+    )
+    if not deterministic_dropout_ok(p):
+      self.dropout = nn.Dropout(rate=p.layer_postprocess_dropout)
+
+  def _encode(self, h, deterministic):
+    """Condense + pos-encode + encoder + logits (shared by both paths)."""
+    p = self.params
+    if p.condense_transformer_input:
+      h = self.condenser(h)
+    if p.add_pos_encoding:
+      pos = sinusoidal_position_encoding(
+          h.shape[1], p.hidden_size, dtype=self.dtype
+      )
+      h = h + pos[None, :, :]
+    if not deterministic and p.layer_postprocess_dropout > 0.0:
+      h = self.dropout(h, deterministic=False)
+    outputs = self.encoder_stack(h, deterministic=deterministic)
+    outputs['logits'] = self.logits_layer(outputs['final_output'])
+    return outputs
+
   def intermediate_outputs(
       self, rows: jnp.ndarray, deterministic: bool = True
   ) -> Dict[str, jnp.ndarray]:
@@ -316,86 +379,82 @@ class LearnedValuesTransformer(nn.Module):
       e = layer(ids[:, :, sl[0] : sl[1]])
       return e.reshape(e.shape[0], e.shape[1], -1)
 
-    bases_layer = ScaledEmbedding(
-        constants.SEQ_VOCAB_SIZE,
-        p.per_base_hidden_size,
-        self.dtype,
-        name='bases_embedding',
-    )
     if p.use_bases:
-      embedded.append(gather(bases_layer, base_idx))
+      embedded.append(gather(self.bases_embedding, base_idx))
     if p.use_pw:
-      pw_layer = ScaledEmbedding(
-          p.PW_MAX + 1, p.pw_hidden_size, self.dtype, name='pw_embedding'
-      )
-      embedded.append(gather(pw_layer, pw_idx))
+      embedded.append(gather(self.pw_embedding, pw_idx))
     if p.use_ip:
-      ip_layer = ScaledEmbedding(
-          p.IP_MAX + 1, p.ip_hidden_size, self.dtype, name='ip_embedding'
-      )
-      embedded.append(gather(ip_layer, ip_idx))
+      embedded.append(gather(self.ip_embedding, ip_idx))
     if p.use_strand:
-      strand_layer = ScaledEmbedding(
-          p.STRAND_MAX + 1,
-          p.strand_hidden_size,
-          self.dtype,
-          name='strand_embedding',
-      )
-      embedded.append(gather(strand_layer, strand_idx))
+      embedded.append(gather(self.strand_embedding, strand_idx))
     if p.use_ccs:
-      embedded.append(gather(bases_layer, ccs_idx))
+      embedded.append(gather(self.bases_embedding, ccs_idx))
     if p.use_ccs_bq:
-      bq_layer = ScaledEmbedding(
-          p.CCS_BQ_MAX, p.ccs_bq_hidden_size, self.dtype, name='ccs_bq_embedding'
-      )
       # Shift -1 gap sentinels to id 0 (networks.py:491-497).
-      e = bq_layer(ids[:, :, ccs_bq_idx[0] : ccs_bq_idx[1]] + 1)
+      e = self.ccs_bq_embedding(ids[:, :, ccs_bq_idx[0] : ccs_bq_idx[1]] + 1)
       embedded.append(e.reshape(e.shape[0], e.shape[1], -1))
     if p.use_sn:
-      sn_layer = ScaledEmbedding(
-          p.SN_MAX + 1, p.sn_hidden_size, self.dtype, name='sn_embedding'
-      )
-      embedded.append(gather(sn_layer, sn_idx))
+      embedded.append(gather(self.sn_embedding, sn_idx))
 
     h = jnp.concatenate(embedded, axis=-1)
+    return self._encode(h, deterministic)
 
-    if p.condense_transformer_input:
-      h = nn.Dense(
-          p.transformer_input_size,
-          use_bias=False,
-          dtype=self.dtype,
-          param_dtype=jnp.float32,
-          name='condenser',
-      )(h)
+  def compact_outputs(
+      self,
+      bases: jnp.ndarray,  # (B, P, L) int
+      pw: jnp.ndarray,  # (B, P, L) int
+      ip: jnp.ndarray,  # (B, P, L) int
+      strand: jnp.ndarray,  # (B, P) int
+      ccs: jnp.ndarray,  # (B, L) int
+      sn: jnp.ndarray,  # (B, 4) int (pre-clipped)
+      ccs_bq: Optional[jnp.ndarray] = None,  # (B, L) int, -1 for gaps
+      deterministic: bool = True,
+  ) -> Dict[str, jnp.ndarray]:
+    """Forward from de-duplicated features — same math, less transport."""
+    p = self.params
+    B, P, L = bases.shape
+    embedded = []
 
-    if p.add_pos_encoding:
-      pos = sinusoidal_position_encoding(
-          h.shape[1], p.hidden_size, dtype=self.dtype
-      )
-      h = h + pos[None, :, :]
+    def per_subread(layer, x):
+      # (B, P, L, width) -> (B, L, P*width): row-major over subread rows,
+      # matching the dense layout's concat order.
+      e = layer(x.astype(jnp.int32))
+      return jnp.transpose(e, (0, 2, 1, 3)).reshape(B, L, -1)
 
-    if not deterministic and p.layer_postprocess_dropout > 0.0:
-      h = nn.Dropout(rate=p.layer_postprocess_dropout)(
-          h, deterministic=False
-      )
+    if p.use_bases:
+      embedded.append(per_subread(self.bases_embedding, bases))
+    if p.use_pw:
+      embedded.append(per_subread(self.pw_embedding, pw))
+    if p.use_ip:
+      embedded.append(per_subread(self.ip_embedding, ip))
+    if p.use_strand:
+      e = self.strand_embedding(strand.astype(jnp.int32))  # (B, P, w)
+      e = e.reshape(B, 1, -1)
+      embedded.append(jnp.broadcast_to(e, (B, L, e.shape[-1])))
+    if p.use_ccs:
+      e = self.bases_embedding(ccs.astype(jnp.int32))
+      embedded.append(e)
+    if p.use_ccs_bq:
+      e = self.ccs_bq_embedding(ccs_bq.astype(jnp.int32) + 1)
+      embedded.append(e)
+    if p.use_sn:
+      e = self.sn_embedding(sn.astype(jnp.int32))  # (B, 4, w)
+      e = e.reshape(B, 1, -1)
+      embedded.append(jnp.broadcast_to(e, (B, L, e.shape[-1])))
 
-    outputs = EncoderStack(self.params, self.dtype, name='encoder_stack')(
-        h, deterministic=deterministic
-    )
-    logits = nn.Dense(
-        constants.SEQ_VOCAB_SIZE,
-        dtype=jnp.float32,
-        param_dtype=jnp.float32,
-        name='logits',
-    )(outputs['final_output'])
-    outputs['logits'] = logits
-    return outputs
+    h = jnp.concatenate(embedded, axis=-1)
+    return self._encode(h, deterministic)
 
   def __call__(
       self, rows: jnp.ndarray, deterministic: bool = True
   ) -> jnp.ndarray:
     outputs = self.intermediate_outputs(rows, deterministic=deterministic)
     return jax.nn.softmax(outputs['logits'], axis=-1)
+
+
+def deterministic_dropout_ok(p) -> bool:
+  """True when the model never needs a Dropout submodule."""
+  return p.layer_postprocess_dropout <= 0.0
 
 
 class FullyConnectedNet(nn.Module):

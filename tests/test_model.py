@@ -1,0 +1,114 @@
+"""Model tests: shapes, determinism, dense-vs-compact path equivalence,
+checkpoint translator mapping (reference: networks_test.py:60-155)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepconsensus_tpu.models import checkpoint, configs, data, model as model_lib
+from deepconsensus_tpu.io import example_pb, tfrecord
+from tests.conftest import HUMAN_1M
+
+
+@pytest.fixture(scope='module')
+def small_model():
+  params = configs.get_config('transformer_learn_values+test')
+  with params.unlocked():
+    params.num_hidden_layers = 2
+    params.filter_size = 64
+    params.transformer_input_size = 32
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  return params, model, variables
+
+
+def _real_rows(params, n=4):
+  rows = []
+  path = f'{HUMAN_1M}/tf_examples/train/train.tfrecord.gz'
+  for rec in tfrecord.read_tfrecords(path):
+    ex = example_pb.decode_example(rec)
+    sub = np.frombuffer(ex['subreads/encoded'][1][0], np.float32).reshape(
+        ex['subreads/shape'][1]
+    )
+    rows.append(data.format_rows(sub, params))
+    if len(rows) == n:
+      break
+  return np.stack(rows)
+
+
+def test_forward_shapes_and_determinism(small_model):
+  params, model, variables = small_model
+  rows = _real_rows(params)
+  out1 = model.apply(variables, rows, deterministic=True)
+  out2 = model.apply(variables, rows, deterministic=True)
+  assert out1.shape == (4, 100, 5)
+  assert bool(jnp.array_equal(out1, out2))
+  np.testing.assert_allclose(np.asarray(out1.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_compact_path_matches_dense(small_model):
+  params, model, variables = small_model
+  rows = _real_rows(params)
+  dense = model.apply(
+      variables, rows, deterministic=True, method='intermediate_outputs'
+  )['logits']
+  compact = data.compact_from_rows(rows, params)
+  out = model.apply(
+      variables,
+      compact['bases'],
+      compact['pw'],
+      compact['ip'],
+      compact['strand'],
+      compact['ccs'],
+      compact['sn'],
+      None,
+      deterministic=True,
+      method='compact_outputs',
+  )['logits']
+  np.testing.assert_array_equal(np.asarray(dense), np.asarray(out))
+
+
+def test_full_attention_matches_banded_when_window_large(small_model):
+  params, _, _ = small_model
+  p2 = configs.get_config('transformer_learn_values+test')
+  with p2.unlocked():
+    p2.num_hidden_layers = 2
+    p2.filter_size = 64
+    p2.transformer_input_size = 32
+    p2.attn_win_size = None  # full attention
+  configs.finalize_params(p2)
+  model2 = model_lib.get_model(p2)
+  v2 = model_lib.init_params(model2, p2)
+  rows = _real_rows(p2, n=2)
+  out = model2.apply(v2, rows, deterministic=True)
+  assert out.shape == (2, 100, 5)
+
+
+def test_tf_checkpoint_name_map_paths_exist(small_model):
+  """Every mapped path exists in the pytree with full-size config."""
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  name_map = checkpoint.tf_name_map(params)
+  assert len(name_map) > 60
+  tree = jax.device_get(variables)
+  for tf_name, path in name_map.items():
+    node = tree['params']
+    for key in path:
+      assert key in node, f'{tf_name} -> missing {key}'
+      node = node[key]
+
+
+def test_fc_model_forward():
+  params = configs.get_config('fc+test')
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  rows = _real_rows(params, n=2)
+  out = model.apply(variables, rows, deterministic=True)
+  assert out.shape == (2, 100, 5)
+  np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
