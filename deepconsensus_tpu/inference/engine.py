@@ -35,6 +35,26 @@ from deepconsensus_tpu.utils import phred
 
 logger = logging.getLogger(__name__)
 
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache() -> None:
+  """Persistent XLA compilation cache: repeat runs skip the 20-40s compile."""
+  global _CACHE_ENABLED
+  if _CACHE_ENABLED:
+    return
+  cache_dir = os.environ.get(
+      'DC_TPU_COMPILE_CACHE', os.path.expanduser('~/.cache/dctpu_xla')
+  )
+  try:
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+  except Exception:  # cache is an optimization, never fatal
+    logger.warning('could not enable persistent compilation cache')
+  _CACHE_ENABLED = True
+
 
 @dataclasses.dataclass
 class InferenceOptions:
@@ -106,7 +126,9 @@ class ModelRunner:
     self.params = params
     self.batch_size = batch_size
     self.model = model_lib.get_model(params, dtype=dtype)
-    self.variables = variables
+    enable_compilation_cache()
+    # Pin weights on device once; every forward reuses them.
+    self.variables = jax.device_put(variables)
     self._use_ccs_bq = bool(params.use_ccs_bq)
 
     def forward(variables, compact):
@@ -129,14 +151,26 @@ class ModelRunner:
 
     self._forward = jax.jit(forward)
 
-  def predict(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Runs the forward on a (possibly partial) batch; pads to static shape."""
+  def predict_async(self, rows: np.ndarray):
+    """Enqueues the forward without blocking; returns (handle, n).
+
+    JAX dispatch is asynchronous: enqueueing all batches before collecting
+    pipelines host->device transfer with device compute, which matters
+    enormously when the chip sits behind a high-latency link.
+    """
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size)
     compact = data.compact_from_rows(padded, self.params)
-    ids, maxp = self._forward(self.variables, compact)
+    return self._forward(self.variables, compact), n
+
+  def collect(self, handle_n) -> Tuple[np.ndarray, np.ndarray]:
+    (ids, maxp), n = handle_n
     ids, maxp = jax.device_get((ids, maxp))
     return ids[:n], maxp[:n]
+
+  def predict(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Runs the forward on a (possibly partial) batch; pads to static shape."""
+    return self.collect(self.predict_async(rows))
 
 
 def quality_scores_from_probs(
@@ -164,14 +198,22 @@ def run_model_on_examples(
     runner: ModelRunner,
     options: InferenceOptions,
 ) -> List[stitch.DCModelOutput]:
-  """Batches windows through the model (quick_inference.py:341-415)."""
+  """Batches windows through the model (quick_inference.py:341-415).
+
+  All batches are enqueued asynchronously before any result is collected,
+  so uploads, device compute, and downloads pipeline.
+  """
   predictions = []
-  for batch in data.batch_feature_dicts(
-      feature_dicts, runner.params, options.batch_size
-  ):
-    if not len(batch['rows']):
-      continue
-    ids, maxp = runner.predict(np.asarray(batch['rows']))
+  batches = [
+      b
+      for b in data.batch_feature_dicts(
+          feature_dicts, runner.params, options.batch_size
+      )
+      if len(b['rows'])
+  ]
+  handles = [runner.predict_async(np.asarray(b['rows'])) for b in batches]
+  for batch, handle in zip(batches, handles):
+    ids, maxp = runner.collect(handle)
     quality_scores = quality_scores_from_probs(maxp, options)
     for y_pred, qs, window_pos, name, ec, np_, rq, rg in zip(
         ids,
