@@ -69,6 +69,54 @@ def _add_calibrate_parser(sub):
   return p
 
 
+def _add_train_parser(sub):
+  p = sub.add_parser('train', help='Train the gap-aware transformer.')
+  p.add_argument('--config', default='transformer_learn_values+test',
+                 help='Config name: {model}+{dataset}.')
+  p.add_argument('--out_dir', required=True)
+  p.add_argument('--batch_size', type=int, default=None)
+  p.add_argument('--num_epochs', type=int, default=None)
+  p.add_argument('--checkpoint', default=None, help='Warm-start checkpoint.')
+  p.add_argument('--train_path', default=None)
+  p.add_argument('--eval_path', default=None)
+  p.add_argument('--num_devices', type=int, default=None)
+  p.add_argument('--eval_and_log_every_step', action='store_true')
+  p.add_argument('--limit', type=int, default=None)
+  return p
+
+
+def _add_distill_parser(sub):
+  p = sub.add_parser('distill', help='Distill a teacher into a student.')
+  p.add_argument('--config', default='transformer_learn_values_distill+test')
+  p.add_argument('--out_dir', required=True)
+  p.add_argument('--teacher_checkpoint', required=True)
+  p.add_argument('--batch_size', type=int, default=None)
+  p.add_argument('--num_epochs', type=int, default=None)
+  p.add_argument('--num_devices', type=int, default=None)
+  return p
+
+
+def _add_eval_parser(sub):
+  p = sub.add_parser(
+      'eval', help='Evaluate a checkpoint over eval examples -> inference.csv.'
+  )
+  p.add_argument('--checkpoint', required=True)
+  p.add_argument('--out_dir', required=True)
+  p.add_argument('--eval_path', default=None)
+  p.add_argument('--limit', type=int, default=-1)
+  p.add_argument('--batch_size', type=int, default=None)
+  return p
+
+
+def _add_export_parser(sub):
+  p = sub.add_parser(
+      'export', help='Export a checkpoint as an inference-only model dir.'
+  )
+  p.add_argument('--checkpoint', required=True)
+  p.add_argument('--output_directory', required=True)
+  return p
+
+
 def _add_filter_parser(sub):
   p = sub.add_parser('filter_reads', help='Filter FASTQ/BAM by read quality.')
   p.add_argument('--input_seq', '-i', required=True)
@@ -92,6 +140,10 @@ def main(argv=None) -> int:
   sub = parser.add_subparsers(dest='command', required=True)
   _add_run_parser(sub)
   _add_preprocess_parser(sub)
+  _add_train_parser(sub)
+  _add_distill_parser(sub)
+  _add_eval_parser(sub)
+  _add_export_parser(sub)
   _add_calibrate_parser(sub)
   _add_filter_parser(sub)
   args = parser.parse_args(argv)
@@ -141,6 +193,69 @@ def main(argv=None) -> int:
         max_length=args.max_length,
         bam_reader_threads=args.bam_reader_threads,
     )
+    return 0
+
+  if args.command == 'train':
+    from deepconsensus_tpu.models import configs
+    from deepconsensus_tpu.train import loop
+
+    params = configs.get_config(args.config)
+    with params.unlocked():
+      if args.batch_size:
+        params.batch_size = args.batch_size
+      if args.num_epochs:
+        params.num_epochs = args.num_epochs
+        params.num_epochs_for_decay = args.num_epochs
+      if args.train_path:
+        params.train_path = [args.train_path]
+      if args.eval_path:
+        params.eval_path = [args.eval_path]
+      if args.limit is not None:
+        params.limit = args.limit
+    loop.train(
+        args.out_dir,
+        params,
+        num_devices=args.num_devices,
+        eval_and_log_every_step=args.eval_and_log_every_step,
+        initial_checkpoint=args.checkpoint,
+    )
+    return 0
+
+  if args.command == 'distill':
+    from deepconsensus_tpu.models import configs
+    from deepconsensus_tpu.train import distill
+
+    params = configs.get_config(args.config)
+    with params.unlocked():
+      if args.batch_size:
+        params.batch_size = args.batch_size
+      if args.num_epochs:
+        params.num_epochs = args.num_epochs
+        params.num_epochs_for_decay = args.num_epochs
+    distill.train_distillation(
+        args.out_dir,
+        params,
+        teacher_checkpoint=args.teacher_checkpoint,
+        num_devices=args.num_devices,
+    )
+    return 0
+
+  if args.command == 'eval':
+    from deepconsensus_tpu.train import evaluate
+
+    evaluate.run_eval(
+        checkpoint_path=args.checkpoint,
+        out_dir=args.out_dir,
+        eval_path=args.eval_path,
+        limit=args.limit,
+        batch_size=args.batch_size,
+    )
+    return 0
+
+  if args.command == 'export':
+    from deepconsensus_tpu.models import export
+
+    export.export_model(args.checkpoint, args.output_directory)
     return 0
 
   if args.command == 'calibrate':

@@ -1,0 +1,78 @@
+"""Batch evaluation of a checkpoint over eval tfrecords -> inference.csv.
+
+Equivalent of the reference's eval binary
+(`reference: models/model_inference.py:79-120`,
+`model_utils.run_inference_and_write_results`, model_utils.py:379-421).
+"""
+
+import csv
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+
+from deepconsensus_tpu.models import checkpoint as ckpt_lib
+from deepconsensus_tpu.models import configs, model as model_lib
+from deepconsensus_tpu.parallel import mesh as mesh_lib
+from deepconsensus_tpu.train import input_pipeline, loop as loop_lib
+
+logger = logging.getLogger(__name__)
+
+
+def run_eval(
+    checkpoint_path: str,
+    out_dir: str,
+    eval_path=None,
+    limit: int = -1,
+    batch_size: Optional[int] = None,
+) -> Dict[str, float]:
+  """Evaluates a checkpoint on the eval dataset, writes inference.csv."""
+  params = configs.read_params_from_json(checkpoint_path)
+  configs.finalize_params(params)
+  with params.unlocked():
+    if eval_path:
+      params.eval_path = eval_path
+    if batch_size:
+      params.batch_size = batch_size
+
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  src = checkpoint_path
+  if os.path.isdir(src):
+    src = ckpt_lib.latest_checkpoint(src) or src
+  payload = ckpt_lib.load_checkpoint(
+      src, {'variables': jax.device_get(variables)}
+  )
+  variables = payload['variables']
+
+  mesh = mesh_lib.make_mesh(1)
+  tx, _ = loop_lib.make_optimizer(params, decay_steps=1)
+  _, eval_step = loop_lib.build_train_step(
+      model, tx, params, params.batch_size
+  )
+  jit_eval = jax.jit(eval_step)
+  del mesh
+
+  stream = input_pipeline.example_stream(
+      params.eval_path, params, params.batch_size, shuffle_buffer=0,
+      repeat=False,
+  )
+  acc = loop_lib.MetricAccumulator()
+  n = 0
+  for rows, labels in stream:
+    acc.update(jax.device_get(jit_eval(variables, rows, labels)))
+    n += rows.shape[0]
+    if limit > 0 and n >= limit:
+      break
+  metrics = acc.result('eval')
+  metrics['eval/examples'] = n
+
+  os.makedirs(out_dir, exist_ok=True)
+  out_csv = os.path.join(out_dir, 'inference.csv')
+  with open(out_csv, 'w', newline='') as f:
+    writer = csv.writer(f)
+    writer.writerow(list(metrics))
+    writer.writerow([metrics[k] for k in metrics])
+  logger.info('Wrote %s: %s', out_csv, metrics)
+  return metrics
