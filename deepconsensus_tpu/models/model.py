@@ -134,6 +134,8 @@ class BandedSelfAttention(nn.Module):
   attn_win_size: Optional[int]
   dtype: Any = jnp.float32
 
+  use_pallas: bool = False
+
   @nn.compact
   def __call__(
       self, x: jnp.ndarray, deterministic: bool = True
@@ -142,6 +144,17 @@ class BandedSelfAttention(nn.Module):
     q = EinsumDense(self.num_heads, head_dim, self.dtype, name='query')(x)
     k = EinsumDense(self.num_heads, head_dim, self.dtype, name='key')(x)
     v = EinsumDense(self.num_heads, head_dim, self.dtype, name='value')(x)
+
+    if self.use_pallas and deterministic:
+      # Fused Pallas kernel: mask+softmax+both matmuls in VMEM, no
+      # (B, N, L, L) logits tensor in HBM.
+      from deepconsensus_tpu.ops import banded_attention as ba
+
+      out = ba.banded_attention(q, k, v, win=self.attn_win_size)
+      out = HeadMerge(self.hidden_size, self.dtype, name='output_transform')(
+          out
+      )
+      return {'main_output': out, 'attention_scores': None}
 
     q = q * jnp.asarray(head_dim**-0.5, self.dtype)
     # logits[b,n,f,t] — f queries, t keys (reference einsum BTNH,BFNH->BNFT).
@@ -233,6 +246,7 @@ class EncoderStack(nn.Module):
   ) -> Dict[str, jnp.ndarray]:
     p = self.params
     outputs: Dict[str, jnp.ndarray] = {}
+    use_pallas = bool(p.get('use_pallas_attention', False))
     for n in range(p.num_hidden_layers):
       attn = BandedSelfAttention(
           hidden_size=p.hidden_size,
@@ -240,6 +254,7 @@ class EncoderStack(nn.Module):
           dropout=p.attention_dropout,
           attn_win_size=p.attn_win_size,
           dtype=self.dtype,
+          use_pallas=use_pallas,
           name=f'attention_{n}',
       )
       wrapped_attn = ReZero(
@@ -252,7 +267,8 @@ class EncoderStack(nn.Module):
       out = wrapped_attn(x, deterministic=deterministic)
       x = out['main_output']
       outputs[f'self_attention_layer_{n}'] = x
-      outputs[f'attention_scores_{n}'] = out['attention_scores']
+      if out['attention_scores'] is not None:
+        outputs[f'attention_scores_{n}'] = out['attention_scores']
 
       ffn = FeedForward(
           hidden_size=p.hidden_size,
