@@ -32,6 +32,24 @@ def _add_run_parser(sub):
       choices=['float32', 'bfloat16'],
       help='Activation dtype for the transformer forward pass.',
   )
+  p.add_argument(
+      '--num_devices', type=int, default=None,
+      help='Shard window batches over this many chips (data parallel).',
+  )
+  p.add_argument(
+      '--host_id', type=int, default=0,
+      help='This host index when splitting a shard across hosts.',
+  )
+  p.add_argument(
+      '--num_hosts', type=int, default=1,
+      help='Total hosts splitting this shard (round-robin by ZMW).',
+  )
+  p.add_argument(
+      '--end_after_stage',
+      default='full',
+      choices=['dc_input', 'tf_examples', 'run_model', 'full'],
+      help='Stop each ZMW batch after this stage (runtime debugging).',
+  )
   return p
 
 
@@ -171,6 +189,10 @@ def main(argv=None) -> int:
         dc_calibration=args.dc_calibration,
         ccs_calibration=args.ccs_calibration,
         dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
+        num_devices=args.num_devices,
+        host_id=args.host_id,
+        num_hosts=args.num_hosts,
+        end_after_stage=args.end_after_stage,
     )
     return 0 if outcome.success else 1
 

@@ -35,6 +35,9 @@ from deepconsensus_tpu.utils import phred
 
 logger = logging.getLogger(__name__)
 
+# Debug stages for runtime measurement (reference: quick_inference.py:68-76).
+DEBUG_STAGES = ('dc_input', 'tf_examples', 'run_model', 'full')
+
 _CACHE_ENABLED = False
 
 
@@ -360,9 +363,17 @@ def inference_on_n_zmws(
     stats_counter,
     timing: Timing,
     pool=None,
+    end_after_stage: str = 'full',
 ) -> None:
   """Full pipeline for one batch of ZMWs (quick_inference.py:598-774)."""
   before_batch = time.time()
+  if end_after_stage == 'dc_input':
+    # Featurization is spacing+windowing; dc_input stops after spacing.
+    for reads, zmw, dc_config, window_widths in inputs:
+      windows.subreads_to_zmw_stack(reads, zmw, dc_config, window_widths)
+    timing.log('preprocess', batch_name, before_batch, None,
+               sum(len(r) for r, *_ in inputs), len(inputs))
+    return
   if pool is None:
     outputs = [preprocess_one_zmw(z) for z in inputs]
   else:
@@ -375,6 +386,8 @@ def inference_on_n_zmws(
   n_subreads = sum(len(reads) for reads, *_ in inputs)
   timing.log('preprocess', batch_name, before_batch, n_examples, n_subreads,
              num_zmws)
+  if end_after_stage == 'tf_examples':
+    return
 
   before = time.time()
   for_model, skipped_predictions = triage_windows(
@@ -383,6 +396,8 @@ def inference_on_n_zmws(
   predictions_from_model = run_model_on_examples(for_model, runner, options)
   predictions = predictions_from_model + skipped_predictions
   timing.log('run_model', batch_name, before, n_examples, n_subreads, num_zmws)
+  if end_after_stage == 'run_model':
+    return
 
   before = time.time()
   predictions.sort(key=lambda dc: (dc.molecule_name, dc.window_pos))
@@ -412,7 +427,10 @@ def inference_on_n_zmws(
 
 
 def load_model_for_inference(
-    checkpoint_path: str, batch_size: int, dtype=jnp.float32
+    checkpoint_path: str,
+    batch_size: int,
+    dtype=jnp.float32,
+    num_devices: Optional[int] = None,
 ):
   """Loads params.json + weights; returns (runner, params).
 
@@ -444,7 +462,14 @@ def load_model_for_inference(
   else:
     # TF checkpoint prefix (reference release format).
     variables = ckpt_lib.load_tf_checkpoint(checkpoint_path, variables, params)
-  runner = ModelRunner(params, variables, batch_size, dtype=dtype)
+  if num_devices is not None and num_devices > 1:
+    from deepconsensus_tpu.parallel import dp_inference
+
+    runner = dp_inference.ShardedModelRunner(
+        params, variables, batch_size, num_devices=num_devices, dtype=dtype
+    )
+  else:
+    runner = ModelRunner(params, variables, batch_size, dtype=dtype)
   return runner, params
 
 
@@ -466,9 +491,30 @@ def run_inference(
     dc_calibration: Optional[str] = None,
     ccs_calibration: str = 'skip',
     dtype=jnp.float32,
+    num_devices: Optional[int] = None,
+    host_id: int = 0,
+    num_hosts: int = 1,
+    end_after_stage: str = 'full',
 ) -> stitch.OutcomeCounter:
-  """End-to-end inference run (reference: quick_inference.run, :794-963)."""
-  runner, params = load_model_for_inference(checkpoint_path, batch_size, dtype)
+  """End-to-end inference run (reference: quick_inference.run, :794-963).
+
+  num_devices > 1 shards each window batch over a chip mesh; num_hosts > 1
+  makes this process consume only its round-robin share of ZMWs (writing a
+  partial output for deterministic merging). end_after_stage in
+  DEBUG_STAGES stops each ZMW batch early for pipeline-prefix timing.
+  """
+  if end_after_stage not in DEBUG_STAGES:
+    raise ValueError(f'end_after_stage must be one of {DEBUG_STAGES}')
+  if end_after_stage in ('dc_input', 'tf_examples'):
+    # No model needed for featurization-only timing runs
+    # (quick_inference.py:501-502).
+    runner = None
+    params = configs.read_params_from_json(checkpoint_path)
+    configs.finalize_params(params)
+  else:
+    runner, params = load_model_for_inference(
+        checkpoint_path, batch_size, dtype, num_devices=num_devices
+    )
 
   if dc_calibration is None:
     dc_calibration = params.get('dc_calibration', 'skip')
@@ -516,16 +562,22 @@ def run_inference(
   before_all = time.time()
   stored = []
   zmw_counter = 0
+  zmw_index = 0
   batch_count = 0
   for reads, zmw, cfg, split, window_widths in proc_feeder():
     if limit and zmw_counter >= limit:
       break
+    my_zmw = zmw_index % num_hosts == host_id
+    zmw_index += 1
+    if not my_zmw:
+      continue
     zmw_counter += 1
     stored.append((reads, zmw, cfg, window_widths))
     if batch_zmws and len(stored) >= batch_zmws:
       inference_on_n_zmws(
           stored, runner, output_writer, options, str(batch_count),
           outcome_counter, stats_counter, timing, pool,
+          end_after_stage=end_after_stage,
       )
       batch_count += 1
       stored = []
@@ -538,6 +590,7 @@ def run_inference(
     inference_on_n_zmws(
         stored, runner, output_writer, options, str(batch_count),
         outcome_counter, stats_counter, timing, pool,
+        end_after_stage=end_after_stage,
     )
   if pool:
     pool.shutdown(wait=True)

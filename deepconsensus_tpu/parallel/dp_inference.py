@@ -1,0 +1,119 @@
+"""Data-parallel inference: shard the window batch across a chip mesh.
+
+The reference runs inference on a single device and scales by running ~500
+independent 16-CPU shard jobs (reference: docs/quick_start.md:83-99,
+models/model_inference.py:94-96). The TPU-native equivalents, both here:
+
+* **chip-level**: one host drives an N-chip mesh; each fixed-shape window
+  batch is sharded on axis 0 (`jax.sharding`), weights replicated, XLA
+  splits the forward with zero collectives (the model is per-window).
+* **host-level**: each host consumes a disjoint ZMW range of the shard
+  (round-robin by ZMW index) and writes a partial FASTQ;
+  `merge_fastq_partials` concatenates them in shard order, which is
+  deterministic because ZMW ranges are disjoint and each partial preserves
+  input order.
+"""
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepconsensus_tpu.models import data, model as model_lib
+from deepconsensus_tpu.parallel import mesh as mesh_lib
+
+
+class ShardedModelRunner:
+  """Drop-in ModelRunner running batches sharded across a device mesh."""
+
+  def __init__(
+      self,
+      params,
+      variables,
+      batch_size: int,
+      num_devices: Optional[int] = None,
+      dtype=jnp.float32,
+  ):
+    self.params = params
+    self.mesh = mesh_lib.make_mesh(num_devices)
+    n_dev = self.mesh.devices.size
+    if batch_size % n_dev != 0:
+      batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+    self.batch_size = batch_size
+    self.model = model_lib.get_model(params, dtype=dtype)
+    repl = mesh_lib.replicated(self.mesh)
+    self.variables = jax.device_put(variables, repl)
+    shard = mesh_lib.batch_sharding(self.mesh)
+
+    def forward(variables, compact):
+      outputs = self.model.apply(
+          variables,
+          compact['bases'],
+          compact['pw'],
+          compact['ip'],
+          compact['strand'],
+          compact['ccs'],
+          compact['sn'],
+          compact.get('ccs_bq'),
+          deterministic=True,
+          method='compact_outputs',
+      )
+      probs = jax.nn.softmax(outputs['logits'].astype(jnp.float32), axis=-1)
+      return jnp.argmax(probs, axis=-1).astype(jnp.int8), jnp.max(
+          probs, axis=-1
+      )
+
+    self._forward = jax.jit(
+        forward,
+        in_shardings=(repl, {  # batch axis sharded per input
+            k: shard
+            for k in ('bases', 'pw', 'ip', 'strand', 'ccs', 'sn', 'ccs_bq')
+        } if params.use_ccs_bq else {
+            k: shard for k in ('bases', 'pw', 'ip', 'strand', 'ccs', 'sn')
+        }),
+        out_shardings=(shard, shard),
+    )
+
+  def predict_async(self, rows: np.ndarray):
+    n = rows.shape[0]
+    padded = data.pad_batch(rows, self.batch_size)
+    compact = data.compact_from_rows(padded, self.params)
+    return self._forward(self.variables, compact), n
+
+  def collect(self, handle_n):
+    (ids, maxp), n = handle_n
+    ids, maxp = jax.device_get((ids, maxp))
+    return ids[:n], maxp[:n]
+
+  def predict(self, rows: np.ndarray):
+    return self.collect(self.predict_async(rows))
+
+
+def host_shard_filter(host_id: int, num_hosts: int):
+  """Predicate assigning ZMW index -> this host (round-robin)."""
+
+  def keep(zmw_index: int) -> bool:
+    return zmw_index % num_hosts == host_id
+
+  return keep
+
+
+def merge_fastq_partials(partials: Sequence[str], output: str) -> int:
+  """Deterministically merges per-host FASTQ partials (shard-id order).
+
+  ZMW assignments are disjoint across hosts and each partial preserves its
+  own input order, so a stable concatenation in host order yields the same
+  output for any host count.
+  """
+  n = 0
+  with open(output, 'w') as out:
+    for path in partials:
+      if not os.path.exists(path):
+        continue
+      with open(path) as f:
+        for line in f:
+          out.write(line)
+          n += 1
+  return n // 4
