@@ -280,10 +280,18 @@ def parse_record(blob: bytes, header: Optional[BamHeader] = None) -> BamRecord:
 
 
 class BamReader:
-  """Sequential BAM reader."""
+  """Sequential BAM reader.
 
-  def __init__(self, path: str):
+  eager=True (default) inflates the whole file up front — through the
+  native zlib fast path when libdcio is built — then parses records from
+  the in-memory buffer; per-shard BAMs fit easily. eager=False streams
+  BGZF blocks (bounded memory for arbitrarily large inputs).
+  """
+
+  def __init__(self, path: str, eager: bool = True):
     self._r = bgzf.BgzfReader(path)
+    self._buf: Optional[bytes] = None
+    self._pos = 0
     magic = self._r.read(4)
     if magic != _BAM_MAGIC:
       raise IOError(f'{path}: not a BAM file')
@@ -297,11 +305,23 @@ class BamReader:
       (l_ref,) = struct.unpack('<i', self._r.read(4))
       refs.append((name, l_ref))
     self.header = BamHeader(text, refs)
+    if eager:
+      self._buf = self._r.read_all()
+      self._r.close()
 
   def __iter__(self) -> Iterator[BamRecord]:
     return self
 
   def __next__(self) -> BamRecord:
+    if self._buf is not None:
+      if self._pos + 4 > len(self._buf):
+        raise StopIteration
+      (block_size,) = struct.unpack_from('<i', self._buf, self._pos)
+      start = self._pos + 4
+      if start + block_size > len(self._buf):
+        raise IOError('truncated BAM record')
+      self._pos = start + block_size
+      return parse_record(self._buf[start : start + block_size], self.header)
     size_bytes = self._r.read(4)
     if len(size_bytes) < 4:
       raise StopIteration
@@ -312,7 +332,8 @@ class BamReader:
     return parse_record(blob, self.header)
 
   def close(self) -> None:
-    self._r.close()
+    if self._buf is None:
+      self._r.close()
 
   def __enter__(self) -> 'BamReader':
     return self

@@ -100,17 +100,37 @@ class BgzfReader:
     return out
 
   def read_all(self) -> bytes:
-    """Reads the remaining decompressed stream."""
-    chunks = [self._buf[self._buf_pos :]]
+    """Reads the remaining decompressed stream (native fast path if built)."""
+    from deepconsensus_tpu import native
+
+    raw = self._fh.read()
+    if raw:
+      inflated = native.bgzf_decompress_all(raw)
+      if inflated is None:
+        # Pure-Python fallback: walk the remaining members.
+        chunks = [self._buf[self._buf_pos :]]
+        self._buf = b''
+        self._buf_pos = 0
+        import io
+
+        self._fh = io.BytesIO(raw)
+        while True:
+          block = self._read_block()
+          if block is None:
+            break
+          chunks.append(block)
+        self._eof = True
+        return b''.join(chunks)
+      head = self._buf[self._buf_pos :]
+      self._buf = b''
+      self._buf_pos = 0
+      self._eof = True
+      return head + inflated
+    head = self._buf[self._buf_pos :]
     self._buf = b''
     self._buf_pos = 0
-    while True:
-      block = self._read_block()
-      if block is None:
-        break
-      chunks.append(block)
     self._eof = True
-    return b''.join(chunks)
+    return head
 
 
 class BgzfWriter:

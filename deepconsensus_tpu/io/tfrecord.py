@@ -30,6 +30,11 @@ _CRC_TABLE = _make_crc32c_table()
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
+  from deepconsensus_tpu import native
+
+  fast = native.crc32c(data, crc)
+  if fast is not None:
+    return fast
   crc = crc ^ 0xFFFFFFFF
   table = _CRC_TABLE
   for b in data:
