@@ -234,7 +234,7 @@ def main(argv=None) -> int:
         params.eval_path = [args.eval_path]
       if args.limit is not None:
         params.limit = args.limit
-    loop.train(
+    loop.train_with_retry(
         args.out_dir,
         params,
         num_devices=args.num_devices,

@@ -213,6 +213,10 @@ def get_config(config_name: Optional[str] = None) -> ml_collections.ConfigDict:
 
   if model_name == 'fc':
     _set_fc_hparams(params)
+  elif model_name == 'conv_net':
+    _set_fc_hparams(params)
+    params.model_name = 'conv_net'
+    params.conv_model = 'resnet_v2_small'
   elif model_name == 'transformer':
     _set_base_transformer_hparams(params)
   elif model_name == 'transformer_learn_values':

@@ -19,7 +19,7 @@ attribute (params stay float32).
 """
 
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -497,6 +497,76 @@ class FullyConnectedNet(nn.Module):
     return jax.nn.softmax(h, axis=-1)
 
 
+class ResBlock(nn.Module):
+  """Pre-activation residual conv block (ResNetV2 style)."""
+
+  features: int
+  strides: Tuple[int, int] = (1, 1)
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+    h = nn.relu(h)
+    shortcut = x
+    if x.shape[-1] != self.features or self.strides != (1, 1):
+      shortcut = nn.Conv(
+          self.features, (1, 1), self.strides, dtype=self.dtype
+      )(h)
+    h = nn.Conv(self.features, (3, 3), self.strides, dtype=self.dtype)(h)
+    h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h)
+    h = nn.relu(h)
+    h = nn.Conv(self.features, (3, 3), dtype=self.dtype)(h)
+    return shortcut + h
+
+
+class ConvNet(nn.Module):
+  """Convolutional baseline over the (rows, length) feature image.
+
+  TPU-native counterpart of the reference's ResNetV2-backbone baseline
+  (networks.py:121-170): a pre-activation residual CNN over the window
+  image with the SN rows optionally concatenated before the head. The
+  reference instantiates keras ResNet50V2 with random weights; here the
+  backbone is a compact ResNetV2-style stack sized for the 85x100 input.
+  """
+
+  params: ml_collections.FrozenConfigDict
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(
+      self, rows: jnp.ndarray, deterministic: bool = True
+  ) -> jnp.ndarray:
+    p = self.params
+    x = rows.astype(self.dtype)  # (B, R, L, 1)
+    sn_slice = configs.get_indices(p.max_passes, p.use_ccs_bq)[6]
+    sn_rows = x[:, sn_slice[0] : sn_slice[1], 0, 0]  # (B, 4), constant rows
+
+    h = nn.Conv(32, (5, 5), (2, 1), dtype=self.dtype)(x)
+    for features, strides in (
+        (32, (1, 1)),
+        (64, (2, 1)),
+        (64, (1, 1)),
+        (128, (2, 1)),
+    ):
+      h = ResBlock(features, strides, self.dtype)(h)
+    h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h)
+    h = nn.relu(h)
+    # Pool the row axis; keep the position axis for per-position logits.
+    h = jnp.mean(h, axis=1)  # (B, L, C)
+    if p.use_sn:
+      sn = jnp.broadcast_to(
+          sn_rows[:, None, :], (h.shape[0], h.shape[1], 4)
+      ).astype(self.dtype)
+      h = jnp.concatenate([h, sn], axis=-1)
+    h = nn.Dense(128, dtype=self.dtype)(h)
+    h = nn.relu(h)
+    logits = nn.Dense(
+        constants.SEQ_VOCAB_SIZE, dtype=jnp.float32, name='logits'
+    )(h)
+    return jax.nn.softmax(logits, axis=-1)
+
+
 def get_model(params: ml_collections.ConfigDict, dtype=jnp.float32):
   """Model factory (reference: model_utils.get_model, model_utils.py:142-152)."""
   frozen = ml_collections.FrozenConfigDict(params)
@@ -505,6 +575,8 @@ def get_model(params: ml_collections.ConfigDict, dtype=jnp.float32):
     return LearnedValuesTransformer(frozen, dtype)
   if name == 'fc':
     return FullyConnectedNet(frozen, dtype)
+  if name == 'conv_net':
+    return ConvNet(frozen, dtype)
   raise ValueError(f'unknown model {name!r}')
 
 

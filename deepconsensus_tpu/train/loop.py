@@ -269,6 +269,35 @@ def train(
 
   opt_state = tx.init(variables['params'])
 
+  # Resume from an interrupted run in out_dir (reference eval_checkpoint.txt
+  # contract: "name\tepoch\tstep", model_utils.py:511-540).
+  initial_epoch = 0
+  initial_step = 0
+  resume_marker = os.path.join(out_dir, 'eval_checkpoint.txt')
+  if os.path.exists(resume_marker) and not initial_checkpoint:
+    with open(resume_marker) as f:
+      parts = f.read().strip().split('\t')
+    if len(parts) == 3 and os.path.exists(parts[0]):
+      payload = ckpt_lib.load_checkpoint(
+          parts[0],
+          {
+              'variables': jax.device_get(variables),
+              'opt_state': jax.device_get(opt_state),
+          },
+      )
+      variables = payload['variables']
+      if 'opt_state' in payload:
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(opt_state),
+            jax.tree_util.tree_leaves(payload['opt_state']),
+        )
+      initial_epoch = int(parts[1])
+      initial_step = int(parts[2]) + 1
+      logger.info(
+          'Resuming from %s at epoch %d step %d',
+          parts[0], initial_epoch, initial_step,
+      )
+
   train_step, eval_step = build_train_step(
       model, tx, frozen, frozen.batch_size
   )
@@ -311,12 +340,12 @@ def train(
   scalars_f = open(scalars_path, 'a')
 
   max_main_metric = 0.0
-  step = 0
+  step = initial_epoch * steps_per_epoch + initial_step
   last_eval_metrics: Dict[str, float] = {}
   t_start = time.time()
-  for epoch in range(frozen.num_epochs):
+  for epoch in range(initial_epoch, frozen.num_epochs):
     logger.info('Starting epoch %d', epoch)
-    for step_train in range(steps_per_epoch):
+    for step_train in range(initial_step, steps_per_epoch):
       rows, labels = next(train_iter)
       rows = mesh_lib.shard_batch(rows, mesh)
       labels = mesh_lib.shard_batch(labels, mesh)
@@ -371,6 +400,7 @@ def train(
           with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
             f.write(os.path.basename(ckpt_name))
         t_start = time.time()
+    initial_step = 0
 
   # Always leave a final checkpoint (covers runs shorter than
   # log_eval_steps, e.g. the reference's smoke-test configuration).
@@ -400,3 +430,29 @@ def train(
 
   scalars_f.close()
   return last_eval_metrics
+
+
+def train_with_retry(*args, max_retries: Optional[int] = None, **kwargs):
+  """Retries training on accelerator-unavailable errors.
+
+  The reference loops forever on tf UnavailableError (TPU preemption,
+  model_train_custom_loop.py:333-347); combined with the resume path above
+  this gives crude preemption tolerance. max_retries=None retries forever.
+  """
+  attempt = 0
+  while True:
+    try:
+      return train(*args, **kwargs)
+    except Exception as e:  # pylint: disable=broad-except
+      msg = str(e).upper()
+      transient = any(
+          key in msg
+          for key in ('UNAVAILABLE', 'DEADLINE_EXCEEDED', 'CONNECTION')
+      )
+      attempt += 1
+      if not transient or (max_retries is not None and attempt > max_retries):
+        raise
+      logger.warning(
+          'Transient accelerator error (attempt %d), retrying: %s', attempt, e
+      )
+      time.sleep(min(30, attempt * 5))
