@@ -84,6 +84,8 @@ def _add_calibrate_parser(sub):
   p.add_argument('--region', default=None)
   p.add_argument('--interval_size', type=int, default=100000)
   p.add_argument('--cpus', type=int, default=0)
+  p.add_argument('--min_mapq', type=int, default=60)
+  p.add_argument('--dc_calibration', default='skip')
   return p
 
 
@@ -154,6 +156,12 @@ def main(argv=None) -> int:
           'TPU-native DeepConsensus: transform PacBio subreads into '
           'polished CCS reads.'
       ),
+  )
+  from deepconsensus_tpu import constants
+
+  parser.add_argument(
+      '--version', action='version',
+      version=f'deepconsensus_tpu {constants.__version__}',
   )
   sub = parser.add_subparsers(dest='command', required=True)
   _add_run_parser(sub)
@@ -284,12 +292,14 @@ def main(argv=None) -> int:
     from deepconsensus_tpu.calibration import calculate_baseq
 
     calculate_baseq.run(
-        bam=args.bam,
+        bam_path=args.bam,
         fasta=args.fasta,
         output_csv=args.output_csv,
         region=args.region,
         interval_size=args.interval_size,
         cpus=args.cpus,
+        min_mapq=args.min_mapq,
+        dc_calibration=args.dc_calibration,
     )
     return 0
 

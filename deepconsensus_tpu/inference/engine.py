@@ -353,6 +353,136 @@ class OutputWriter:
     self._writer.close()
 
 
+@dataclasses.dataclass
+class _RoundState:
+  """A ZMW round in flight: enqueued device work + host-side leftovers."""
+
+  batch_name: str
+  batches: List[Dict[str, Any]]
+  handles: List[Any]
+  skipped_predictions: List[stitch.DCModelOutput]
+  n_examples: int
+  n_subreads: int
+  num_zmws: int
+  enqueued_at: float
+
+
+def featurize_round(
+    inputs, batch_name, stats_counter, timing, pool=None
+):
+  """Host featurization for one ZMW round; returns per-ZMW window dicts."""
+  before = time.time()
+  if pool is None:
+    outputs = [preprocess_one_zmw(z) for z in inputs]
+  else:
+    outputs = list(pool.map(preprocess_one_zmw, inputs))
+  feature_dicts_for_zmws, counters = zip(*outputs)
+  for c in counters:
+    stats_counter.update(c)
+  n_examples = sum(len(z) for z in feature_dicts_for_zmws)
+  n_subreads = sum(len(reads) for reads, *_ in inputs)
+  timing.log('preprocess', batch_name, before, n_examples, n_subreads,
+             len(inputs))
+  return feature_dicts_for_zmws, n_examples, n_subreads
+
+
+def enqueue_round(
+    feature_dicts_for_zmws,
+    runner: 'ModelRunner',
+    options: InferenceOptions,
+    batch_name: str,
+    n_examples: int,
+    n_subreads: int,
+) -> _RoundState:
+  """Triage + asynchronous model dispatch (results collected later)."""
+  for_model, skipped = triage_windows(feature_dicts_for_zmws, options)
+  batches = [
+      b
+      for b in data.batch_feature_dicts(
+          for_model, runner.params, options.batch_size
+      )
+      if len(b['rows'])
+  ]
+  handles = [runner.predict_async(np.asarray(b['rows'])) for b in batches]
+  return _RoundState(
+      batch_name=batch_name,
+      batches=batches,
+      handles=handles,
+      skipped_predictions=skipped,
+      n_examples=n_examples,
+      n_subreads=n_subreads,
+      num_zmws=len(feature_dicts_for_zmws),
+      enqueued_at=time.time(),
+  )
+
+
+def _predictions_from_batch(batch, ids, quality_scores):
+  out = []
+  for y_pred, qs, window_pos, name, ec, np_, rq, rg in zip(
+      ids,
+      quality_scores,
+      batch['window_pos'],
+      batch['name'],
+      batch['ec'],
+      batch['np_num_passes'],
+      batch['rq'],
+      batch['rg'],
+  ):
+    out.append(
+        stitch.DCModelOutput(
+            window_pos=window_pos,
+            molecule_name=name,
+            ec=ec,
+            np_num_passes=np_,
+            rq=rq,
+            rg=rg,
+            sequence=phred.encoded_sequence_to_string(y_pred),
+            quality_string=phred.quality_scores_to_string(qs),
+        )
+    )
+  return out
+
+
+def finish_round(
+    state: _RoundState,
+    runner: 'ModelRunner',
+    output_writer: OutputWriter,
+    options: InferenceOptions,
+    outcome_counter: stitch.OutcomeCounter,
+    timing: Timing,
+) -> None:
+  """Collects device results, stitches, writes output for one round."""
+  predictions = []
+  for batch, handle in zip(state.batches, state.handles):
+    ids, maxp = runner.collect(handle)
+    quality_scores = quality_scores_from_probs(maxp, options)
+    predictions.extend(_predictions_from_batch(batch, ids, quality_scores))
+  predictions.extend(state.skipped_predictions)
+  timing.log('run_model', state.batch_name, state.enqueued_at,
+             state.n_examples, state.n_subreads, state.num_zmws)
+
+  before = time.time()
+  predictions.sort(key=lambda dc: (dc.molecule_name, dc.window_pos))
+  import itertools
+
+  for zmw, preds in itertools.groupby(
+      predictions, lambda p: p.molecule_name
+  ):
+    preds = list(preds)
+    fastq_string = stitch.stitch_to_fastq(
+        molecule_name=zmw,
+        predictions=preds,
+        max_length=options.max_length,
+        min_quality=options.min_quality,
+        min_length=options.min_length,
+        outcome_counter=outcome_counter,
+    )
+    if fastq_string:
+      output_writer.write(fastq_string, preds[0])
+  timing.log('stitch_and_write_fastq', state.batch_name, before,
+             state.n_examples, state.n_subreads, state.num_zmws)
+
+
 def inference_on_n_zmws(
     inputs: Sequence[Any],
     runner: Optional[ModelRunner],
@@ -374,51 +504,21 @@ def inference_on_n_zmws(
     timing.log('preprocess', batch_name, before_batch, None,
                sum(len(r) for r, *_ in inputs), len(inputs))
     return
-  if pool is None:
-    outputs = [preprocess_one_zmw(z) for z in inputs]
-  else:
-    outputs = list(pool.map(preprocess_one_zmw, inputs))
-  feature_dicts_for_zmws, counters = zip(*outputs)
-  for c in counters:
-    stats_counter.update(c)
-  num_zmws = len(feature_dicts_for_zmws)
-  n_examples = sum(len(z) for z in feature_dicts_for_zmws)
-  n_subreads = sum(len(reads) for reads, *_ in inputs)
-  timing.log('preprocess', batch_name, before_batch, n_examples, n_subreads,
-             num_zmws)
+  feats, n_examples, n_subreads = featurize_round(
+      inputs, batch_name, stats_counter, timing, pool
+  )
   if end_after_stage == 'tf_examples':
     return
-
-  before = time.time()
-  for_model, skipped_predictions = triage_windows(
-      feature_dicts_for_zmws, options
+  state = enqueue_round(
+      feats, runner, options, batch_name, n_examples, n_subreads
   )
-  predictions_from_model = run_model_on_examples(for_model, runner, options)
-  predictions = predictions_from_model + skipped_predictions
-  timing.log('run_model', batch_name, before, n_examples, n_subreads, num_zmws)
   if end_after_stage == 'run_model':
+    for batch, handle in zip(state.batches, state.handles):
+      runner.collect(handle)
+    timing.log('run_model', batch_name, state.enqueued_at, n_examples,
+               n_subreads, len(inputs))
     return
-
-  before = time.time()
-  predictions.sort(key=lambda dc: (dc.molecule_name, dc.window_pos))
-  import itertools
-
-  for zmw, preds in itertools.groupby(
-      predictions, lambda p: p.molecule_name
-  ):
-    preds = list(preds)
-    fastq_string = stitch.stitch_to_fastq(
-        molecule_name=zmw,
-        predictions=preds,
-        max_length=options.max_length,
-        min_quality=options.min_quality,
-        min_length=options.min_length,
-        outcome_counter=outcome_counter,
-    )
-    if fastq_string:
-      output_writer.write(fastq_string, preds[0])
-  timing.log('stitch_and_write_fastq', batch_name, before, n_examples,
-             n_subreads, num_zmws)
+  finish_round(state, runner, output_writer, options, outcome_counter, timing)
   logger.info(
       'Processed a batch of %d ZMWs in %0.3f seconds',
       len(inputs),
@@ -564,6 +664,32 @@ def run_inference(
   zmw_counter = 0
   zmw_index = 0
   batch_count = 0
+  # One-round lookahead: while the device computes round k, the host
+  # featurizes round k+1 (dispatch is asynchronous, so enqueue-then-finish
+  # overlaps host and device work with no threads).
+  in_flight: Optional[_RoundState] = None
+
+  def process_round(round_inputs, name):
+    nonlocal in_flight
+    if end_after_stage != 'full':
+      inference_on_n_zmws(
+          round_inputs, runner, output_writer, options, name,
+          outcome_counter, stats_counter, timing, pool,
+          end_after_stage=end_after_stage,
+      )
+      return
+    feats, n_examples, n_subreads = featurize_round(
+        round_inputs, name, stats_counter, timing, pool
+    )
+    state = enqueue_round(
+        feats, runner, options, name, n_examples, n_subreads
+    )
+    if in_flight is not None:
+      finish_round(
+          in_flight, runner, output_writer, options, outcome_counter, timing
+      )
+    in_flight = state
+
   for reads, zmw, cfg, split, window_widths in proc_feeder():
     if limit and zmw_counter >= limit:
       break
@@ -574,11 +700,7 @@ def run_inference(
     zmw_counter += 1
     stored.append((reads, zmw, cfg, window_widths))
     if batch_zmws and len(stored) >= batch_zmws:
-      inference_on_n_zmws(
-          stored, runner, output_writer, options, str(batch_count),
-          outcome_counter, stats_counter, timing, pool,
-          end_after_stage=end_after_stage,
-      )
+      process_round(stored, str(batch_count))
       batch_count += 1
       stored = []
       logger.info(
@@ -587,10 +709,10 @@ def run_inference(
           time.time() - before_all,
       )
   if stored:
-    inference_on_n_zmws(
-        stored, runner, output_writer, options, str(batch_count),
-        outcome_counter, stats_counter, timing, pool,
-        end_after_stage=end_after_stage,
+    process_round(stored, str(batch_count))
+  if in_flight is not None:
+    finish_round(
+        in_flight, runner, output_writer, options, outcome_counter, timing
     )
   if pool:
     pool.shutdown(wait=True)

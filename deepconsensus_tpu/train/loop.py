@@ -231,8 +231,14 @@ def train(
     initial_checkpoint: Optional[str] = None,
     log_train_steps: int = 100,
     log_eval_steps: int = 3000,
+    profile_steps: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, float]:
-  """Runs the full training loop; returns the last eval metrics."""
+  """Runs the full training loop; returns the last eval metrics.
+
+  profile_steps=(start, stop) captures a jax.profiler trace of those steps
+  to out_dir/profile (the reference wraps every step in
+  tf.profiler traces, model_train_custom_loop.py:248,277).
+  """
   os.makedirs(out_dir, exist_ok=True)
   configs.finalize_params(
       params,
@@ -349,11 +355,15 @@ def train(
       rows, labels = next(train_iter)
       rows = mesh_lib.shard_batch(rows, mesh)
       labels = mesh_lib.shard_batch(labels, mesh)
+      if profile_steps and step == profile_steps[0]:
+        jax.profiler.start_trace(os.path.join(out_dir, 'profile'))
       variables, opt_state, metrics = jit_train(
           variables, opt_state, rows, labels
       )
       train_acc.update(jax.device_get(metrics))
       step += 1
+      if profile_steps and step == profile_steps[1]:
+        jax.profiler.stop_trace()
       if step % log_train_steps == 0:
         result = train_acc.result('train')
         result['train/steps_per_second'] = log_train_steps / (
