@@ -132,18 +132,47 @@ def bench_model_windows(checkpoint: str, batch_size: int = 1024,
   return batch_size * iters / dt
 
 
+_partial = {}
+
+
+def _emit(zmws_per_sec, extra=None):
+  out = {
+      'metric': 'zmws_per_sec_per_chip',
+      'value': round(zmws_per_sec, 3),
+      'unit': 'ZMW/s',
+      'vs_baseline': round(zmws_per_sec / BASELINE_ZMWS_PER_SEC, 2),
+  }
+  out.update(extra or {})
+  print(json.dumps(out))
+
+
 def main():
+  # Watchdog: the TPU tunnel in this environment can wedge for minutes; if
+  # that happens mid-bench, emit whatever was measured instead of hanging
+  # the driver.
+  import signal
+
+  def on_alarm(signum, frame):
+    _emit(
+        _partial.get('zmws_per_sec', 0.0),
+        {
+            'windows_per_sec_batch1024': _partial.get('windows_per_sec', 0.0),
+            'note': 'watchdog timeout — partial measurements',
+        },
+    )
+    os._exit(0)
+
+  signal.signal(signal.SIGALRM, on_alarm)
+  signal.alarm(480)
+
   checkpoint = ensure_checkpoint()
   windows_per_sec = bench_model_windows(checkpoint)
+  _partial['windows_per_sec'] = windows_per_sec
   zmws_per_sec = bench_full_pipeline(checkpoint)
-  print(
-      json.dumps({
-          'metric': 'zmws_per_sec_per_chip',
-          'value': round(zmws_per_sec, 3),
-          'unit': 'ZMW/s',
-          'vs_baseline': round(zmws_per_sec / BASELINE_ZMWS_PER_SEC, 2),
-          'windows_per_sec_batch1024': round(windows_per_sec, 1),
-      })
+  _partial['zmws_per_sec'] = zmws_per_sec
+  signal.alarm(0)
+  _emit(
+      zmws_per_sec, {'windows_per_sec_batch1024': round(windows_per_sec, 1)}
   )
 
 
