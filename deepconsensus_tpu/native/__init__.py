@@ -1,4 +1,4 @@
-"""ctypes bindings for the native IO fast path (libdcio.so).
+"""ctypes bindings for the native IO fast path (libdcio.lib.so).
 
 Builds on demand from bgzf_ext.cc (see build.sh); every entry point has a
 pure-Python fallback in deepconsensus_tpu/io, so the package works without
@@ -15,7 +15,7 @@ from typing import Optional
 logger = logging.getLogger(__name__)
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, 'libdcio.so')
+_LIB_PATH = os.path.join(_DIR, 'libdcio.lib.so')
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
