@@ -47,12 +47,24 @@ def example_stream(
     repeat: bool = True,
     inference: bool = False,
     drop_remainder: bool = True,
+    host_id: int = 0,
+    num_hosts: int = 1,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
-  """Yields (rows [b,H,W,1], label [b,W]) batches."""
+  """Yields (rows [b,H,W,1], label [b,W]) batches.
+
+  num_hosts > 1 gives each host a disjoint round-robin slice of the
+  tfrecord file list (the per-host input pipelines of a multi-host
+  data-parallel job; SURVEY.md §2.11).
+  """
   files = create_glob_list(file_patterns)
   if not files:
     raise FileNotFoundError(f'no tfrecord files match {file_patterns!r}')
-  rng = np.random.default_rng(seed)
+  if num_hosts > 1:
+    sharded = files[host_id::num_hosts]
+    # Fall back to all files when there are fewer shards than hosts (the
+    # batch axis still splits across chips).
+    files = sharded or files
+  rng = np.random.default_rng(seed + host_id)
 
   def epoch_stream():
     it = _iter_parsed(files, params, inference)
