@@ -154,16 +154,17 @@ class ModelRunner:
 
     self._forward = jax.jit(forward)
 
-  def predict_async(self, rows: np.ndarray):
+  def predict_async(self, rows: np.ndarray, pass_limit=None):
     """Enqueues the forward without blocking; returns (handle, n).
 
     JAX dispatch is asynchronous: enqueueing all batches before collecting
     pipelines host->device transfer with device compute, which matters
-    enormously when the chip sits behind a high-latency link.
+    enormously when the chip sits behind a high-latency link. pass_limit
+    ships only that many subread rows (jit specializes per bucket shape).
     """
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size)
-    compact = data.compact_from_rows(padded, self.params)
+    compact = data.compact_from_rows(padded, self.params, pass_limit)
     return self._forward(self.variables, compact), n
 
   def collect(self, handle_n) -> Tuple[np.ndarray, np.ndarray]:
@@ -210,11 +211,14 @@ def run_model_on_examples(
   batches = [
       b
       for b in data.batch_feature_dicts(
-          feature_dicts, runner.params, options.batch_size
+          feature_dicts, runner.params, options.batch_size, bucket_passes=True
       )
       if len(b['rows'])
   ]
-  handles = [runner.predict_async(np.asarray(b['rows'])) for b in batches]
+  handles = [
+      runner.predict_async(np.asarray(b['rows']), b.get('pass_limit'))
+      for b in batches
+  ]
   for batch, handle in zip(batches, handles):
     ids, maxp = runner.collect(handle)
     quality_scores = quality_scores_from_probs(maxp, options)
@@ -399,11 +403,14 @@ def enqueue_round(
   batches = [
       b
       for b in data.batch_feature_dicts(
-          for_model, runner.params, options.batch_size
+          for_model, runner.params, options.batch_size, bucket_passes=True
       )
       if len(b['rows'])
   ]
-  handles = [runner.predict_async(np.asarray(b['rows'])) for b in batches]
+  handles = [
+      runner.predict_async(np.asarray(b['rows']), b.get('pass_limit'))
+      for b in batches
+  ]
   return _RoundState(
       batch_name=batch_name,
       batches=batches,

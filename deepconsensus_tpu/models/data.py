@@ -101,32 +101,63 @@ def process_feature_dict(features: Dict[str, Any], params) -> Dict[str, Any]:
   }
 
 
+def pass_bucket(num_passes: int, max_passes: int) -> int:
+  """Smallest transport bucket covering a window's subread count."""
+  for b in (max_passes // 4, max_passes // 2, (3 * max_passes) // 4):
+    if b >= 1 and num_passes <= b:
+      return b
+  return max_passes
+
+
 def batch_feature_dicts(
     feature_dicts: List[Dict[str, Any]],
     params,
     batch_size: int,
+    bucket_passes: bool = False,
 ) -> Iterator[Dict[str, Any]]:
-  """Stacks per-window dicts into dense batches (quick_inference.py:304-338)."""
+  """Stacks per-window dicts into dense batches (quick_inference.py:304-338).
+
+  bucket_passes groups windows by pass-count bucket so each batch ships
+  only the subread rows its windows actually use (batch['pass_limit']).
+  """
   processed = [process_feature_dict(f, params) for f in feature_dicts]
-  for i in range(0, len(processed), batch_size):
-    chunk = processed[i : i + batch_size]
-    batch = {}
-    for key in constants.DC_FEATURES:
-      vals = [x[key] for x in chunk]
-      if vals and key == 'rows':
-        batch[key] = np.stack(vals)
-      else:
-        batch[key] = vals
-    yield batch
+  if bucket_passes:
+    groups: Dict[int, List[Dict[str, Any]]] = {}
+    for f in processed:
+      b = pass_bucket(int(f['num_passes']), params.max_passes)
+      groups.setdefault(b, []).append(f)
+    ordered = sorted(groups.items())
+  else:
+    ordered = [(None, processed)]
+  for pass_limit, group in ordered:
+    for i in range(0, len(group), batch_size):
+      chunk = group[i : i + batch_size]
+      batch: Dict[str, Any] = {}
+      for key in constants.DC_FEATURES:
+        vals = [x[key] for x in chunk]
+        if vals and key == 'rows':
+          batch[key] = np.stack(vals)
+        else:
+          batch[key] = vals
+      if pass_limit is not None:
+        batch['pass_limit'] = pass_limit
+      yield batch
 
 
-def compact_from_rows(rows: np.ndarray, params) -> Dict[str, np.ndarray]:
+def compact_from_rows(
+    rows: np.ndarray, params, pass_limit: Optional[int] = None
+) -> Dict[str, np.ndarray]:
   """De-duplicates a dense rows batch into compact device-transport arrays.
 
   rows: (B, total_rows, L, 1) float32 (already clipped by format_rows).
   Returns uint8/uint16 integer features ~5.5x smaller than the dense f32
   tile; strand and SN are constant along the window in the dense layout so
   only one value per subread / per window is shipped.
+
+  pass_limit truncates the per-subread features to the first pass_limit
+  rows — exact whenever every window in the batch has at most that many
+  subreads, because rows beyond a window's subread count are all-zero and
+  embed to zero either way (the pass-bucketing transport optimization).
   """
   (
       base_idx,
@@ -138,11 +169,16 @@ def compact_from_rows(rows: np.ndarray, params) -> Dict[str, np.ndarray]:
       sn_idx,
   ) = configs.get_indices(params.max_passes, params.use_ccs_bq)
   x = rows[..., 0]
+  p = pass_limit if pass_limit is not None else params.max_passes
+
+  def rows_of(idx):
+    return x[:, idx[0] : idx[0] + p]
+
   out = {
-      'bases': x[:, slice(*base_idx)].astype(np.uint8),
-      'pw': x[:, slice(*pw_idx)].astype(np.uint8),
-      'ip': x[:, slice(*ip_idx)].astype(np.uint8),
-      'strand': x[:, slice(*strand_idx), 0].astype(np.uint8),
+      'bases': rows_of(base_idx).astype(np.uint8),
+      'pw': rows_of(pw_idx).astype(np.uint8),
+      'ip': rows_of(ip_idx).astype(np.uint8),
+      'strand': x[:, strand_idx[0] : strand_idx[0] + p, 0].astype(np.uint8),
       'ccs': x[:, ccs_idx[0]].astype(np.uint8),
       'sn': x[:, slice(*sn_idx), 0].astype(np.uint16),
   }
@@ -151,11 +187,27 @@ def compact_from_rows(rows: np.ndarray, params) -> Dict[str, np.ndarray]:
   return out
 
 
+def padded_size(n: int, batch_size: int, min_tier: int = 256) -> int:
+  """Smallest power-of-two tier >= n (capped at batch_size).
+
+  Bounds both the zero-padding waste of partial batches (important with
+  pass-bucketed batching, where each bucket ends with a partial batch)
+  and the number of compiled executables (log2 tiers).
+  """
+  if n >= batch_size:
+    return batch_size
+  tier = min(min_tier, batch_size)
+  while tier < n:
+    tier *= 2
+  return min(tier, batch_size)
+
+
 def pad_batch(rows: np.ndarray, batch_size: int) -> np.ndarray:
-  """Pads a partial batch to the static jit batch size with zeros."""
+  """Pads a partial batch to the next size tier with zeros."""
   n = rows.shape[0]
-  if n == batch_size:
+  target = padded_size(n, batch_size)
+  if n == target:
     return rows
-  padded = np.zeros((batch_size,) + rows.shape[1:], dtype=rows.dtype)
+  padded = np.zeros((target,) + rows.shape[1:], dtype=rows.dtype)
   padded[:n] = rows
   return padded

@@ -426,26 +426,44 @@ class LearnedValuesTransformer(nn.Module):
       ccs_bq: Optional[jnp.ndarray] = None,  # (B, L) int, -1 for gaps
       deterministic: bool = True,
   ) -> Dict[str, jnp.ndarray]:
-    """Forward from de-duplicated features — same math, less transport."""
+    """Forward from de-duplicated features — same math, less transport.
+
+    The subread axis P may be smaller than max_passes (pass-bucketed
+    transport): rows beyond a window's subread count are all-zero in the
+    dense layout and embed to exact zeros, so the embedded features are
+    zero-padded back to the max_passes width on device before the
+    condenser — bit-identical to the dense path, ~P/max_passes of the
+    host->device bytes.
+    """
     p = self.params
     B, P, L = bases.shape
     embedded = []
 
-    def per_subread(layer, x):
+    def per_subread(layer, x, width):
       # (B, P, L, width) -> (B, L, P*width): row-major over subread rows,
-      # matching the dense layout's concat order.
+      # matching the dense layout's concat order; zero-pad to max_passes.
       e = layer(x.astype(jnp.int32))
-      return jnp.transpose(e, (0, 2, 1, 3)).reshape(B, L, -1)
+      e = jnp.transpose(e, (0, 2, 1, 3)).reshape(B, L, P * width)
+      if P < p.max_passes:
+        e = jnp.pad(e, ((0, 0), (0, 0), (0, (p.max_passes - P) * width)))
+      return e
 
     if p.use_bases:
-      embedded.append(per_subread(self.bases_embedding, bases))
+      embedded.append(
+          per_subread(self.bases_embedding, bases, p.per_base_hidden_size)
+      )
     if p.use_pw:
-      embedded.append(per_subread(self.pw_embedding, pw))
+      embedded.append(per_subread(self.pw_embedding, pw, p.pw_hidden_size))
     if p.use_ip:
-      embedded.append(per_subread(self.ip_embedding, ip))
+      embedded.append(per_subread(self.ip_embedding, ip, p.ip_hidden_size))
     if p.use_strand:
       e = self.strand_embedding(strand.astype(jnp.int32))  # (B, P, w)
-      e = e.reshape(B, 1, -1)
+      e = e.reshape(B, 1, P * p.strand_hidden_size)
+      if P < p.max_passes:
+        e = jnp.pad(
+            e,
+            ((0, 0), (0, 0), (0, (p.max_passes - P) * p.strand_hidden_size)),
+        )
       embedded.append(jnp.broadcast_to(e, (B, L, e.shape[-1])))
     if p.use_ccs:
       e = self.bases_embedding(ccs.astype(jnp.int32))

@@ -76,10 +76,10 @@ class ShardedModelRunner:
         out_shardings=(shard, shard),
     )
 
-  def predict_async(self, rows: np.ndarray):
+  def predict_async(self, rows: np.ndarray, pass_limit=None):
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size)
-    compact = data.compact_from_rows(padded, self.params)
+    compact = data.compact_from_rows(padded, self.params, pass_limit)
     return self._forward(self.variables, compact), n
 
   def collect(self, handle_n):
