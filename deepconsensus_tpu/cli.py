@@ -50,6 +50,14 @@ def _add_run_parser(sub):
       choices=['dc_input', 'tf_examples', 'run_model', 'full'],
       help='Stop each ZMW batch after this stage (runtime debugging).',
   )
+  p.add_argument(
+      '--use_pallas_attention', action='store_true',
+      help='Use the fused Pallas banded-attention kernel (TPU only).',
+  )
+  p.add_argument(
+      '--precision', default=None, choices=['highest', 'float32', 'default'],
+      help='jax matmul precision; "highest" for strict f32 reproduction.',
+  )
   return p
 
 
@@ -201,6 +209,9 @@ def main(argv=None) -> int:
         host_id=args.host_id,
         num_hosts=args.num_hosts,
         end_after_stage=args.end_after_stage,
+        use_pallas_attention=args.use_pallas_attention,
+        matmul_precision=None if args.precision in (None, 'default')
+        else args.precision,
     )
     return 0 if outcome.success else 1
 

@@ -538,14 +538,20 @@ def load_model_for_inference(
     batch_size: int,
     dtype=jnp.float32,
     num_devices: Optional[int] = None,
+    param_overrides: Optional[Dict[str, Any]] = None,
 ):
   """Loads params.json + weights; returns (runner, params).
 
   Accepts: an orbax checkpoint dir produced by this framework (contains
   params.json beside it), or a reference TF checkpoint prefix (translated
-  via models/checkpoint.load_tf_checkpoint).
+  via models/checkpoint.load_tf_checkpoint). param_overrides patches
+  non-weight-affecting params (e.g. use_pallas_attention).
   """
   params = configs.read_params_from_json(checkpoint_path)
+  if param_overrides:
+    with params.unlocked():
+      for k, v in param_overrides.items():
+        params[k] = v
   configs.finalize_params(params)
   model = model_lib.get_model(params)
   variables = model_lib.init_params(model, params)
@@ -602,6 +608,8 @@ def run_inference(
     host_id: int = 0,
     num_hosts: int = 1,
     end_after_stage: str = 'full',
+    use_pallas_attention: bool = False,
+    matmul_precision: Optional[str] = None,
 ) -> stitch.OutcomeCounter:
   """End-to-end inference run (reference: quick_inference.run, :794-963).
 
@@ -612,6 +620,13 @@ def run_inference(
   """
   if end_after_stage not in DEBUG_STAGES:
     raise ValueError(f'end_after_stage must be one of {DEBUG_STAGES}')
+  if matmul_precision:
+    # 'highest' forces strict f32 matmuls (TPU default uses bf16 MXU
+    # passes for f32 inputs — fine for throughput, not for bit parity).
+    jax.config.update('jax_default_matmul_precision', matmul_precision)
+  overrides = (
+      {'use_pallas_attention': True} if use_pallas_attention else None
+  )
   if end_after_stage in ('dc_input', 'tf_examples'):
     # No model needed for featurization-only timing runs
     # (quick_inference.py:501-502).
@@ -620,7 +635,8 @@ def run_inference(
     configs.finalize_params(params)
   else:
     runner, params = load_model_for_inference(
-        checkpoint_path, batch_size, dtype, num_devices=num_devices
+        checkpoint_path, batch_size, dtype, num_devices=num_devices,
+        param_overrides=overrides,
     )
 
   if dc_calibration is None:

@@ -29,13 +29,19 @@ def create_glob_list(paths) -> List[str]:
 
 def _iter_parsed(files: List[str], params, inference: bool):
   for path in files:
-    for rec in tfrecord.read_tfrecords(path):
-      ex = data_lib.parse_example_bytes(rec, inference=inference)
-      rows = data_lib.format_rows(ex['subreads'], params)
-      label = ex.get('label')
-      if label is not None and params.remove_label_gaps:
-        label = data_lib.remove_internal_gaps_and_shift(label)
-      yield rows, label
+    try:
+      for rec in tfrecord.read_tfrecords(path):
+        ex = data_lib.parse_example_bytes(rec, inference=inference)
+        rows = data_lib.format_rows(ex['subreads'], params)
+        label = ex.get('label')
+        if label is not None and params.remove_label_gaps:
+          label = data_lib.remove_internal_gaps_and_shift(label)
+        yield rows, label
+    except Exception as e:
+      raise IOError(
+          f'{path}: not a readable tfrecord of examples (glob matched a '
+          f'non-dataset file?): {e}'
+      ) from e
 
 
 def example_stream(
