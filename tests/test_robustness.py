@@ -1,0 +1,110 @@
+"""Failure-path robustness: corrupt/truncated/empty inputs fail loudly."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from deepconsensus_tpu.io import bam, bgzf, tfrecord
+from deepconsensus_tpu.preprocess import feeder, windows
+from tests.conftest import HUMAN_1M
+
+
+def test_truncated_bam_record_raises(tmp_path):
+  header, recs = bam.read_all(f'{HUMAN_1M}/ccs.bam')
+  path = str(tmp_path / 'trunc.bam')
+  with bam.BamWriter(path, header) as w:
+    w.write_record(recs[0])
+  raw = open(path, 'rb').read()
+  # Rewrite without the BGZF EOF marker and with the last block cut short:
+  # inflate then re-frame a truncated byte stream.
+  with bgzf.BgzfReader(path) as r:
+    data = r.read_all()
+  cut = str(tmp_path / 'cut.bam')
+  with bgzf.BgzfWriter(cut) as w:
+    w.write(data[: len(data) - 37])
+  with pytest.raises(IOError):
+    list(bam.BamReader(cut))
+  del raw
+
+
+def test_tfrecord_crc_violation_detected(tmp_path):
+  path = str(tmp_path / 'x.tfrecord.gz')
+  with tfrecord.TFRecordWriter(path) as w:
+    w.write(b'payload-bytes-here')
+  blob = bytearray(gzip.decompress(open(path, 'rb').read()))
+  blob[12 + 5] ^= 0xFF  # flip a payload byte
+  with open(path, 'wb') as f:
+    f.write(gzip.compress(bytes(blob)))
+  with pytest.raises(IOError, match='CRC'):
+    list(tfrecord.read_tfrecords(path, verify=True))
+  # Without verification the corrupted payload is surfaced as-is.
+  recs = list(tfrecord.read_tfrecords(path, verify=False))
+  assert len(recs) == 1 and recs[0] != b'payload-bytes-here'
+
+
+def test_empty_bam_yields_no_zmws(tmp_path):
+  header, _ = bam.read_all(f'{HUMAN_1M}/subreads_to_ccs.bam')
+  empty = str(tmp_path / 'empty.bam')
+  with bam.BamWriter(empty, header):
+    pass
+  dc = windows.DcConfig(20, 100, False)
+  proc, counter = feeder.create_proc_feeder(
+      subreads_to_ccs=empty, ccs_bam=f'{HUMAN_1M}/ccs.bam', dc_config=dc
+  )
+  assert list(proc()) == []
+  assert counter['n_zmw_pass'] == 0
+
+
+def test_unmapped_only_bam_yields_no_zmws(tmp_path):
+  header, recs = bam.read_all(f'{HUMAN_1M}/subreads_to_ccs.bam')
+  path = str(tmp_path / 'unmapped.bam')
+  with bam.BamWriter(path, header) as w:
+    for rec in recs[:5]:
+      rec.flag |= bam.FLAG_UNMAPPED
+      w.write_record(rec)
+  dc = windows.DcConfig(20, 100, False)
+  proc, counter = feeder.create_proc_feeder(
+      subreads_to_ccs=path, ccs_bam=f'{HUMAN_1M}/ccs.bam', dc_config=dc
+  )
+  assert list(proc()) == []
+
+
+def test_missing_ccs_read_raises(tmp_path):
+  # Subreads referencing a CCS name absent from ccs.bam must fail loudly
+  # (reference: pre_lib.py:1324-1326).
+  header, subs = bam.read_all(f'{HUMAN_1M}/subreads_to_ccs.bam')
+  ccs_header, ccs = bam.read_all(f'{HUMAN_1M}/ccs.bam')
+  short_ccs = str(tmp_path / 'short_ccs.bam')
+  with bam.BamWriter(short_ccs, ccs_header) as w:
+    for rec in ccs[:1]:
+      w.write_record(rec)
+  dc = windows.DcConfig(20, 100, False)
+  proc, _ = feeder.create_proc_feeder(
+      subreads_to_ccs=f'{HUMAN_1M}/subreads_to_ccs.bam',
+      ccs_bam=short_ccs,
+      dc_config=dc,
+  )
+  with pytest.raises(ValueError, match='ccs bam does not contain'):
+    for _ in proc():
+      pass
+
+
+def test_malformed_window_values_do_not_nan(tmp_path):
+  """Out-of-range feature ids clamp in the embedding gather (mode='clip')."""
+  import jax
+
+  from deepconsensus_tpu.models import configs, model as model_lib
+
+  params = configs.get_config('transformer_learn_values+test')
+  with params.unlocked():
+    params.num_hidden_layers = 1
+    params.filter_size = 32
+    params.transformer_input_size = 16
+  configs.finalize_params(params)
+  m = model_lib.get_model(params)
+  v = model_lib.init_params(m, params)
+  rows = np.full((1, params.total_rows, 100, 1), 7.0, np.float32)  # strand=7!
+  out = m.apply(v, rows, deterministic=True)
+  assert bool(np.isfinite(np.asarray(out)).all())
