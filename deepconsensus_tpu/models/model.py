@@ -491,6 +491,43 @@ def deterministic_dropout_ok(p) -> bool:
   return p.layer_postprocess_dropout <= 0.0
 
 
+class RawRowsTransformer(nn.Module):
+  """Encoder-only transformer over raw feature rows (no learned embeddings).
+
+  The reference's base `EncoderOnlyTransformer` (networks.py:173-365):
+  rows are squeezed/transposed to (B, L, total_rows) and fed directly to
+  the encoder; an odd feature width gains one zero column so the
+  sinusoidal position encoding splits evenly (networks.py:301-306).
+  """
+
+  params: ml_collections.FrozenConfigDict
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(
+      self, rows: jnp.ndarray, deterministic: bool = True
+  ) -> jnp.ndarray:
+    p = self.params
+    x = jnp.transpose(jnp.squeeze(rows, -1), (0, 2, 1)).astype(self.dtype)
+    if p.add_pos_encoding and x.shape[-1] % 2 != 0:
+      x = jnp.pad(x, ((0, 0), (0, 0), (0, 1)))
+    if p.add_pos_encoding:
+      pos = sinusoidal_position_encoding(
+          x.shape[1], x.shape[-1], dtype=self.dtype
+      )
+      x = x + pos[None, :, :]
+    if not deterministic and p.layer_postprocess_dropout > 0.0:
+      x = nn.Dropout(rate=p.layer_postprocess_dropout)(x, deterministic=False)
+    outputs = EncoderStack(self.params, self.dtype, name='encoder_stack')(
+        x, deterministic=deterministic
+    )
+    logits = nn.Dense(
+        constants.SEQ_VOCAB_SIZE, dtype=jnp.float32, param_dtype=jnp.float32,
+        name='logits',
+    )(outputs['final_output'])
+    return jax.nn.softmax(logits, axis=-1)
+
+
 class FullyConnectedNet(nn.Module):
   """FC baseline (reference: networks.py:67-92)."""
 
@@ -591,6 +628,8 @@ def get_model(params: ml_collections.ConfigDict, dtype=jnp.float32):
   name = params.model_name
   if name in ('transformer_learn_values', 'transformer_learn_values_distill'):
     return LearnedValuesTransformer(frozen, dtype)
+  if name == 'transformer':
+    return RawRowsTransformer(frozen, dtype)
   if name == 'fc':
     return FullyConnectedNet(frozen, dtype)
   if name == 'conv_net':

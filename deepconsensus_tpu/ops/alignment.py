@@ -474,6 +474,21 @@ def per_example_accuracy(
   return jnp.sum(exact.astype(jnp.int32)), y_true.shape[0]
 
 
+def per_class_accuracy(
+    y_true: jnp.ndarray, y_pred_scores: jnp.ndarray, class_value: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """(#correct, #total) at positions where the label equals class_value.
+
+  (losses_and_metrics.py:68-89)
+  """
+  y_true = y_true.astype(jnp.int32)
+  y_pred = jnp.argmax(y_pred_scores, axis=-1).astype(jnp.int32)
+  mask = y_true == class_value
+  correct = jnp.sum((mask & (y_true == y_pred)).astype(jnp.int32))
+  total = jnp.sum(mask.astype(jnp.int32))
+  return correct, total
+
+
 def distillation_loss(
     teacher_logits: jnp.ndarray,
     student_logits: jnp.ndarray,

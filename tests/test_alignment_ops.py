@@ -177,3 +177,14 @@ def test_distillation_loss_zero_for_identical():
   assert np.allclose(np.asarray(loss), 0.0)
   loss_kl = alignment.distillation_loss(logits, logits, kind='kl_divergence')
   assert np.allclose(np.asarray(loss_kl), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    'class_value,want',
+    [(1, (1, 2)), (2, (1, 1)), (0, (1, 1)), (4, (0, 0))],
+)
+def test_per_class_accuracy(class_value, want):
+  y = np.array([[1, 1, 2, 0]], np.float32)
+  p = np.eye(5, dtype=np.float32)[np.array([[1, 2, 2, 0]])]
+  c, t = alignment.per_class_accuracy(y, p, class_value)
+  assert (int(c), int(t)) == want

@@ -112,3 +112,19 @@ def test_fc_model_forward():
   out = model.apply(variables, rows, deterministic=True)
   assert out.shape == (2, 100, 5)
   np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_raw_rows_transformer_forward():
+  """Plain 'transformer' model: raw rows, odd hidden padded to 86."""
+  params = configs.get_config('transformer+test')
+  with params.unlocked():
+    params.num_hidden_layers = 2
+    params.filter_size = 64
+  configs.finalize_params(params)
+  assert params.hidden_size == 86  # 85 rows + 1 even-ing pad
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  rows = _real_rows(params, n=2)
+  out = model.apply(variables, rows, deterministic=True)
+  assert out.shape == (2, 100, 5)
+  np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
