@@ -55,6 +55,10 @@ def _add_run_parser(sub):
       help='Use the fused Pallas banded-attention kernel (TPU only).',
   )
   p.add_argument(
+      '--use_fused_encoder', action='store_true',
+      help='Run the encoder as fused Pallas layer kernels (TPU only).',
+  )
+  p.add_argument(
       '--precision', default=None, choices=['highest', 'float32', 'default'],
       help='jax matmul precision; "highest" for strict f32 reproduction.',
   )
@@ -210,6 +214,7 @@ def main(argv=None) -> int:
         num_hosts=args.num_hosts,
         end_after_stage=args.end_after_stage,
         use_pallas_attention=args.use_pallas_attention,
+        use_fused_encoder=args.use_fused_encoder,
         matmul_precision=None if args.precision in (None, 'default')
         else args.precision,
     )

@@ -134,20 +134,50 @@ class ModelRunner:
     self.variables = jax.device_put(variables)
     self._use_ccs_bq = bool(params.use_ccs_bq)
 
+    use_fused = bool(params.get('use_pallas_fused_encoder', False))
+
     def forward(variables, compact):
-      outputs = self.model.apply(
-          variables,
-          compact['bases'],
-          compact['pw'],
-          compact['ip'],
-          compact['strand'],
-          compact['ccs'],
-          compact['sn'],
-          compact.get('ccs_bq'),
-          deterministic=True,
-          method='compact_outputs',
-      )
-      probs = jax.nn.softmax(outputs['logits'].astype(jnp.float32), axis=-1)
+      if use_fused:
+        # Embeddings via the flax module, then the fused Pallas encoder
+        # stack + functional LayerNorm/logits tail.
+        from deepconsensus_tpu.ops import fused_encoder as fe
+
+        h = self.model.apply(
+            variables,
+            compact['bases'],
+            compact['pw'],
+            compact['ip'],
+            compact['strand'],
+            compact['ccs'],
+            compact['sn'],
+            compact.get('ccs_bq'),
+            method='compact_embed',
+        )
+        p = variables['params']
+        lps = fe.extract_layer_params(
+            p['encoder_stack'], params.num_hidden_layers
+        )
+        h = fe.fused_encoder_stack(h, lps, win=params.attn_win_size)
+        norm = p['encoder_stack']['output_norm']
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+        h = (h - mu) * jax.lax.rsqrt(var + 1e-6) * norm['scale'] + norm['bias']
+        logits = h @ p['logits']['kernel'] + p['logits']['bias']
+      else:
+        outputs = self.model.apply(
+            variables,
+            compact['bases'],
+            compact['pw'],
+            compact['ip'],
+            compact['strand'],
+            compact['ccs'],
+            compact['sn'],
+            compact.get('ccs_bq'),
+            deterministic=True,
+            method='compact_outputs',
+        )
+        logits = outputs['logits']
+      probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
       return jnp.argmax(probs, axis=-1).astype(jnp.int8), jnp.max(
           probs, axis=-1
       )
@@ -609,6 +639,7 @@ def run_inference(
     num_hosts: int = 1,
     end_after_stage: str = 'full',
     use_pallas_attention: bool = False,
+    use_fused_encoder: bool = False,
     matmul_precision: Optional[str] = None,
 ) -> stitch.OutcomeCounter:
   """End-to-end inference run (reference: quick_inference.run, :794-963).
@@ -624,9 +655,12 @@ def run_inference(
     # 'highest' forces strict f32 matmuls (TPU default uses bf16 MXU
     # passes for f32 inputs — fine for throughput, not for bit parity).
     jax.config.update('jax_default_matmul_precision', matmul_precision)
-  overrides = (
-      {'use_pallas_attention': True} if use_pallas_attention else None
-  )
+  overrides = {}
+  if use_pallas_attention:
+    overrides['use_pallas_attention'] = True
+  if use_fused_encoder:
+    overrides['use_pallas_fused_encoder'] = True
+  overrides = overrides or None
   if end_after_stage in ('dc_input', 'tf_examples'):
     # No model needed for featurization-only timing runs
     # (quick_inference.py:501-502).

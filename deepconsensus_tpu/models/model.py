@@ -353,7 +353,7 @@ class LearnedValuesTransformer(nn.Module):
     if not deterministic_dropout_ok(p):
       self.dropout = nn.Dropout(rate=p.layer_postprocess_dropout)
 
-  def _encode(self, h, deterministic):
+  def _encode(self, h, deterministic, embed_only=False):
     """Condense + pos-encode + encoder + logits (shared by both paths)."""
     p = self.params
     if p.condense_transformer_input:
@@ -365,6 +365,8 @@ class LearnedValuesTransformer(nn.Module):
       h = h + pos[None, :, :]
     if not deterministic and p.layer_postprocess_dropout > 0.0:
       h = self.dropout(h, deterministic=False)
+    if embed_only:
+      return {'encoder_input': h}
     outputs = self.encoder_stack(h, deterministic=deterministic)
     outputs['logits'] = self.logits_layer(outputs['final_output'])
     return outputs
@@ -415,6 +417,28 @@ class LearnedValuesTransformer(nn.Module):
     h = jnp.concatenate(embedded, axis=-1)
     return self._encode(h, deterministic)
 
+  def compact_embed(
+      self,
+      bases: jnp.ndarray,
+      pw: jnp.ndarray,
+      ip: jnp.ndarray,
+      strand: jnp.ndarray,
+      ccs: jnp.ndarray,
+      sn: jnp.ndarray,
+      ccs_bq: Optional[jnp.ndarray] = None,
+  ) -> jnp.ndarray:
+    """Compact features -> encoder input h (condensed + pos-encoded).
+
+    The pre-encoder half of compact_outputs, exposed so external encoder
+    implementations (e.g. the fused Pallas stack in ops/fused_encoder.py)
+    can consume the same embeddings.
+    """
+    outputs = self.compact_outputs(
+        bases, pw, ip, strand, ccs, sn, ccs_bq, deterministic=True,
+        embed_only=True,
+    )
+    return outputs['encoder_input']
+
   def compact_outputs(
       self,
       bases: jnp.ndarray,  # (B, P, L) int
@@ -425,6 +449,7 @@ class LearnedValuesTransformer(nn.Module):
       sn: jnp.ndarray,  # (B, 4) int (pre-clipped)
       ccs_bq: Optional[jnp.ndarray] = None,  # (B, L) int, -1 for gaps
       deterministic: bool = True,
+      embed_only: bool = False,
   ) -> Dict[str, jnp.ndarray]:
     """Forward from de-duplicated features — same math, less transport.
 
@@ -477,7 +502,7 @@ class LearnedValuesTransformer(nn.Module):
       embedded.append(jnp.broadcast_to(e, (B, L, e.shape[-1])))
 
     h = jnp.concatenate(embedded, axis=-1)
-    return self._encode(h, deterministic)
+    return self._encode(h, deterministic, embed_only=embed_only)
 
   def __call__(
       self, rows: jnp.ndarray, deterministic: bool = True
