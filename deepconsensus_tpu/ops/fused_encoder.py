@@ -212,6 +212,41 @@ def fused_encoder_stack(x, layer_params, win=12, block_b=8, interpret=False):
   return x
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def fused_encoder_layer_trainable(
+    x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn,
+    win: Optional[int] = 12,
+):
+  """Differentiable fused layer: Pallas forward, XLA-derived backward.
+
+  The backward pass rematerializes through the mathematically identical
+  XLA formulation and takes its VJP — standard practice for fused
+  forward kernels; gradients match XLA autodiff to matmul precision.
+  """
+  return fused_encoder_layer(
+      x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn, win=win
+  )
+
+
+def _fused_fwd(x, wq, wk, wv, wo, a1, wf1, bf1, wf2, bf2, a2, win):
+  out = fused_encoder_layer(
+      x, wq, wk, wv, wo, a1, wf1, bf1, wf2, bf2, a2, win=win
+  )
+  return out, (x, wq, wk, wv, wo, a1, wf1, bf1, wf2, bf2, a2)
+
+
+def _fused_bwd(win, residuals, g):
+  (x, wq, wk, wv, wo, a1, wf1, bf1, wf2, bf2, a2) = residuals
+  _, vjp = jax.vjp(
+      lambda *args: _xla_layer(*args, win=win),
+      x, wq, wk, wv, wo, a1, wf1, bf1, wf2, bf2, a2,
+  )
+  return vjp(g)
+
+
+fused_encoder_layer_trainable.defvjp(_fused_fwd, _fused_bwd)
+
+
 def extract_layer_params(encoder_stack_params, num_layers):
   """Pulls per-layer weight dicts out of the flax EncoderStack pytree."""
   out = []

@@ -82,3 +82,27 @@ def test_fused_full_attention(small_stack):
       lps[0]['bf2'], lps[0]['alpha_ffn'], win=None, block_b=4, interpret=True,
   )
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_trainable_fused_layer_gradients(small_stack):
+  """custom_vjp gradients match XLA autodiff for every argument."""
+  _, _, lps = small_stack
+  lp = lps[0]
+  x = jnp.asarray(
+      np.random.default_rng(3).standard_normal((4, 20, 64)).astype(np.float32)
+  )
+  args = (
+      x, lp['wq'], lp['wk'], lp['wv'], lp['wo'], lp['alpha_attn'],
+      lp['wf1'], lp['bf1'], lp['wf2'], lp['bf2'], lp['alpha_ffn'],
+  )
+
+  def loss_fused(*a):
+    return jnp.sum(fe.fused_encoder_layer_trainable(*a, 12) ** 2)
+
+  def loss_xla(*a):
+    return jnp.sum(fe._xla_layer(*a, win=12) ** 2)
+
+  g1 = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
+  g2 = jax.grad(loss_xla, argnums=tuple(range(11)))(*args)
+  for a, b in zip(g1, g2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
