@@ -10,7 +10,6 @@ in-memory index instead of a .bai (adequate at per-shard scale).
 """
 
 import bisect
-import collections
 import concurrent.futures
 import csv
 import dataclasses

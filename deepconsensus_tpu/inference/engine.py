@@ -17,13 +17,13 @@ import json
 import logging
 import os
 import time
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepconsensus_tpu import constants
+
 from deepconsensus_tpu.calibration import calibration as calibration_lib
 from deepconsensus_tpu.io import bam, fastq
 from deepconsensus_tpu.models import checkpoint as ckpt_lib

@@ -15,7 +15,7 @@ models/model_inference.py:94-96). The TPU-native equivalents, both here:
 """
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ import logging
 import os
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
-
 from deepconsensus_tpu import constants
 from deepconsensus_tpu.io import tfrecord
 from deepconsensus_tpu.preprocess import feeder, windows

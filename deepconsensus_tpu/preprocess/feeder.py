@@ -8,7 +8,7 @@ framework's own BAM reader.
 import collections
 import dataclasses
 import logging
-from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
+from typing import Any, Dict, Iterator, List, Optional, Union
 
 import numpy as np
 

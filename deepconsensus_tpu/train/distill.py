@@ -11,7 +11,6 @@ inside the same jitted step with frozen weights.
 import json
 import logging
 import os
-import time
 from typing import Any, Dict, Optional
 
 import jax
