@@ -57,6 +57,13 @@ def xentropy_ins_cost_fn(y_pred, eps=1e-7):
   return -jnp.log(jnp.clip(y_pred[..., GAP], eps, 1 - eps))
 
 
+def accuracy_subs_cost_fn(y_true_oh, y_pred):
+  """1.0 where argmax labels agree, else 0.0 (losses_and_metrics.py:146-163)."""
+  t = jnp.argmax(y_true_oh, axis=-1)
+  p = jnp.argmax(y_pred, axis=-1)
+  return (t[:, :, None] == p[:, None, :]).astype(y_pred.dtype)
+
+
 def pbmm2_subs_cost_fn(y_true, y_pred, matching_score, mismatch_penalty):
   """Match/mismatch scores for int sequences (losses_and_metrics.py:166-188)."""
   return jnp.where(

@@ -188,3 +188,11 @@ def test_per_class_accuracy(class_value, want):
   p = np.eye(5, dtype=np.float32)[np.array([[1, 2, 2, 0]])]
   c, t = alignment.per_class_accuracy(y, p, class_value)
   assert (int(c), int(t)) == want
+
+
+def test_accuracy_subs_cost_fn():
+  y_true, y_pred = convert_seqs((['AT'], ['AC']))
+  oh = np.eye(5, dtype=np.float32)[y_true.astype(int)]
+  out = np.asarray(alignment.accuracy_subs_cost_fn(oh, y_pred))
+  # true A,T vs pred A,C: [[A==A, A==C], [T==A, T==C]]
+  assert out[0].tolist() == [[1.0, 0.0], [0.0, 0.0]]
