@@ -175,7 +175,6 @@ def get_config(config_name: Optional[str] = None) -> ml_collections.ConfigDict:
   params.vocab_size = constants.SEQ_VOCAB_SIZE
   params.tensorboard_update_freq = 'batch'
   params.model_checkpoint_freq = 'epoch'
-  params.seq_len = 120
   params.use_bases = True
   params.use_pw = True
   params.use_ip = True
@@ -199,7 +198,6 @@ def get_config(config_name: Optional[str] = None) -> ml_collections.ConfigDict:
   params.remove_label_gaps = False
   params.tpu_scale_factor = 1
   params.num_epochs_for_decay = 9
-  del params.seq_len
 
   if config_name is None:
     config_name = 'transformer_learn_values+test'

@@ -1,0 +1,55 @@
+"""Config-system tests: reference params.json compatibility, derivations."""
+
+import numpy as np
+import pytest
+
+from deepconsensus_tpu.models import configs
+from tests.conftest import TESTDATA
+
+
+def test_reference_params_json_loads_unchanged():
+  """The v1.2 release params.json drives this framework directly."""
+  params = configs.read_params_from_json(f'{TESTDATA}/model')
+  configs.finalize_params(params)
+  assert params.hidden_size == 280
+  assert params.total_rows == 85
+  assert params.max_passes == 20
+  assert params.num_hidden_layers == 6
+  assert params.filter_size == 2048
+  assert params.attn_win_size == 12
+  assert params.rezero is True
+  assert params.get('dc_calibration') == '0,1.197654,-0.99781'
+
+
+def test_reference_bq_params_json_loads():
+  params = configs.read_params_from_json(f'{TESTDATA}/model_bq')
+  configs.finalize_params(params)
+  assert params.use_ccs_bq is True
+  assert params.total_rows == 86
+
+
+def test_hidden_size_derivation_matches_reference_formula():
+  """modify_params math (model_utils.py:315-346)."""
+  params = configs.get_config('transformer_learn_values+custom')
+  configs.finalize_params(params)
+  # 20 * (8+8+8+2) + 8 (ccs) + 4*8 (sn) = 560 concat, condensed to 280.
+  assert params.embedding_concat_size == 560
+  assert params.hidden_size == 280
+
+
+def test_batch_scaling_explicit():
+  params = configs.get_config('transformer_learn_values+custom')
+  with params.unlocked():
+    params.batch_size = 256
+    params.tpu_scale_factor = 1
+  configs.finalize_params(params, num_replicas=32, batch_scale=True)
+  assert params.batch_size == 256 * 32  # the reference's 8192 global batch
+
+
+def test_invalid_config_names():
+  with pytest.raises(ValueError):
+    configs.get_config('nope+test')
+  with pytest.raises(ValueError):
+    configs.get_config('transformer_learn_values+nope')
+  with pytest.raises(ValueError):
+    configs.get_config('noseparator')
