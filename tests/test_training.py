@@ -95,3 +95,21 @@ def test_dp_loss_matches_single_device(tmp_path):
       first = json.loads(f.readline())
     results[n] = first['train/loss']
   np.testing.assert_allclose(results[1], results[8], rtol=1e-4)
+
+
+@pytest.mark.parametrize('model_name', ['fc', 'transformer'])
+def test_train_smoke_other_architectures(model_name, tmp_path):
+  """The reference smoke-trains fc+test and transformer+test
+  (model_train_custom_loop_test.py:43-84)."""
+  params = configs.get_config(f'{model_name}+test')
+  with params.unlocked():
+    params.batch_size = 4
+    params.limit = 8
+    params.num_epochs = 1
+    if model_name == 'transformer':
+      params.num_hidden_layers = 2
+      params.filter_size = 64
+  out_dir = str(tmp_path / f'{model_name}_out')
+  metrics = loop.train(out_dir, params, num_devices=1, log_train_steps=1)
+  assert np.isfinite(metrics['eval/loss'])
+  assert os.path.exists(os.path.join(out_dir, 'best_checkpoint.txt'))
