@@ -84,9 +84,13 @@ class BamRecord:
       'ref_id',
       'pos',
       'mapq',
-      'cigartuples',
-      'seq',
+      '_cigar_raw',
+      '_cigartuples',
       'qual',
+      '_seq_packed',
+      '_l_seq',
+      '_seq_bytes',
+      '_seq_str',
       '_tag_blob',
       '_tags',
       'header',
@@ -98,12 +102,85 @@ class BamRecord:
     self.ref_id = -1
     self.pos = -1
     self.mapq = 0
-    self.cigartuples: List[Tuple[int, int]] = []
-    self.seq = ''
+    self._cigar_raw: Optional[np.ndarray] = None  # raw u32 op words
+    self._cigartuples: Optional[List[Tuple[int, int]]] = None
     self.qual: Optional[np.ndarray] = None
+    self._seq_packed: Optional[bytes] = None
+    self._l_seq = 0
+    self._seq_bytes: Optional[np.ndarray] = None
+    self._seq_str: Optional[str] = None
     self._tag_blob: bytes = b''
     self._tags: Optional[Dict[str, Any]] = None
     self.header: Optional[BamHeader] = None
+
+  # -- cigar access (lazy decode from raw u32 words) ----------------------
+  @property
+  def cigar_ops(self) -> np.ndarray:
+    if self._cigar_raw is not None:
+      return (self._cigar_raw & 0xF).astype(np.uint8)
+    return np.array([op for op, _ in self.cigartuples], dtype=np.uint8)
+
+  @property
+  def cigar_lens(self) -> np.ndarray:
+    if self._cigar_raw is not None:
+      return (self._cigar_raw >> 4).astype(np.int64)
+    return np.array([l for _, l in self.cigartuples], dtype=np.int64)
+
+  @property
+  def cigartuples(self) -> List[Tuple[int, int]]:
+    if self._cigartuples is None:
+      if self._cigar_raw is None:
+        self._cigartuples = []
+      else:
+        raw = self._cigar_raw
+        self._cigartuples = list(
+            zip((raw & 0xF).tolist(), (raw >> 4).tolist())
+        )
+    return self._cigartuples
+
+  @cigartuples.setter
+  def cigartuples(self, value: List[Tuple[int, int]]) -> None:
+    self._cigartuples = value
+    self._cigar_raw = None
+
+  # -- sequence access (lazy 4-bit decode) -------------------------------
+  @property
+  def seq_bytes(self) -> np.ndarray:
+    """Sequence as uint8 ASCII codes (decoded from 4-bit lazily, cached)."""
+    if self._seq_bytes is None:
+      if self._seq_str is not None:
+        self._seq_bytes = np.frombuffer(
+            self._seq_str.encode('ascii'), dtype=np.uint8
+        )
+      elif self._seq_packed is not None:
+        raw = np.frombuffer(self._seq_packed, dtype=np.uint8)
+        nibbles = np.empty(len(raw) * 2, dtype=np.uint8)
+        nibbles[0::2] = raw >> 4
+        nibbles[1::2] = raw & 0x0F
+        self._seq_bytes = _NIBBLE_TO_CHAR[nibbles[: self._l_seq]]
+      else:
+        self._seq_bytes = np.empty(0, dtype=np.uint8)
+    return self._seq_bytes
+
+  @property
+  def seq_len(self) -> int:
+    if self._seq_str is not None:
+      return len(self._seq_str)
+    if self._seq_bytes is not None:
+      return len(self._seq_bytes)
+    return self._l_seq
+
+  @property
+  def seq(self) -> str:
+    if self._seq_str is None:
+      self._seq_str = self.seq_bytes.tobytes().decode('ascii')
+    return self._seq_str
+
+  @seq.setter
+  def seq(self, value: str) -> None:
+    self._seq_str = value
+    self._seq_bytes = None
+    self._seq_packed = None
 
   # -- pysam-compatible conveniences -------------------------------------
   @property
@@ -154,36 +231,36 @@ class BamRecord:
   def query_alignment_start(self) -> int:
     """Query index of the first non-clipped base."""
     qstart = 0
-    for op, length in self.cigartuples:
-      if op == constants.CSOFT_CLIP:
-        qstart += length
-      elif op != constants.CHARD_CLIP:
+    ops = self.cigar_ops
+    lens = self.cigar_lens
+    for i in range(len(ops)):
+      if ops[i] == constants.CSOFT_CLIP:
+        qstart += int(lens[i])
+      elif ops[i] != constants.CHARD_CLIP:
         break
     return qstart
 
   @property
   def query_alignment_end(self) -> int:
     """Query index one past the last non-clipped base."""
-    qend = len(self.seq)
-    for op, length in reversed(self.cigartuples):
-      if op == constants.CSOFT_CLIP:
-        qend -= length
-      elif op != constants.CHARD_CLIP:
+    qend = self.seq_len
+    ops = self.cigar_ops
+    lens = self.cigar_lens
+    for i in range(len(ops) - 1, -1, -1):
+      if ops[i] == constants.CSOFT_CLIP:
+        qend -= int(lens[i])
+      elif ops[i] != constants.CHARD_CLIP:
         break
     return qend
 
   def expanded_cigar(self) -> np.ndarray:
     """Per-position cigar op codes (uint8), hard clips included."""
-    if not self.cigartuples:
-      return np.empty(0, dtype=np.uint8)
-    ops = np.array([op for op, _ in self.cigartuples], dtype=np.uint8)
-    lens = np.array([l for _, l in self.cigartuples], dtype=np.int64)
-    return np.repeat(ops, lens)
+    return np.repeat(self.cigar_ops, self.cigar_lens)
 
   def __repr__(self):
     return (
         f'BamRecord({self.qname}, flag={self.flag}, ref={self.ref_id}, '
-        f'pos={self.pos}, len={len(self.seq)})'
+        f'pos={self.pos}, len={self.seq_len})'
     )
 
 
@@ -264,13 +341,13 @@ def parse_record(blob: bytes, header: Optional[BamHeader] = None) -> BamRecord:
   off = 32
   rec.qname = blob[off : off + l_read_name - 1].decode('ascii')
   off += l_read_name
-  cigar = np.frombuffer(blob[off : off + 4 * n_cigar_op], dtype='<u4')
-  rec.cigartuples = [
-      (int(c & 0xF), int(c >> 4)) for c in cigar
-  ]
+  rec._cigar_raw = np.frombuffer(  # pylint: disable=protected-access
+      blob[off : off + 4 * n_cigar_op], dtype='<u4'
+  )
   off += 4 * n_cigar_op
   n_seq_bytes = (l_seq + 1) // 2
-  rec.seq = decode_seq(blob[off : off + n_seq_bytes], l_seq)
+  rec._seq_packed = blob[off : off + n_seq_bytes]  # decoded lazily
+  rec._l_seq = l_seq
   off += n_seq_bytes
   qual = np.frombuffer(blob[off : off + l_seq], dtype=np.uint8)
   rec.qual = None if (l_seq and qual.size and qual[0] == 0xFF) else qual.copy()

@@ -209,8 +209,8 @@ def trim_insertions(
   """
   if ins_trim <= 0:
     return record
-  ops = np.array([op for op, _ in record.cigartuples], dtype=np.int64)
-  lens = np.array([l for _, l in record.cigartuples], dtype=np.int64)
+  ops = record.cigar_ops.astype(np.int64)
+  lens = record.cigar_lens
   if ops.size == 0:
     return record
 
@@ -231,8 +231,7 @@ def trim_insertions(
   for i in np.where(drop)[0]:
     mask[qstarts[i] : qstarts[i] + lens[i]] = False
 
-  seq_bytes = np.frombuffer(record.seq.encode('ascii'), dtype=np.uint8)
-  record.seq = seq_bytes[mask].tobytes().decode('ascii')
+  record.seq = record.seq_bytes[mask].tobytes().decode('ascii')
   record.cigartuples = [
       (int(op), int(l)) for op, l, d in zip(ops, lens, drop) if not d
   ]
@@ -261,8 +260,8 @@ def expand_clip_indent(
   if ins_trim > 0:
     record = trim_insertions(record, ins_trim, counter)
 
-  ops = np.array([op for op, _ in record.cigartuples], dtype=np.int64)
-  lens = np.array([l for _, l in record.cigartuples], dtype=np.int64)
+  ops = record.cigar_ops.astype(np.int64)
+  lens = record.cigar_lens
   in_pair = _PAIR_OPS_QUERY[ops] | _PAIR_OPS_REF[ops]
   pair_ops = np.repeat(ops[in_pair], lens[in_pair]).astype(np.uint8)
   aln_len = len(pair_ops)
@@ -276,9 +275,7 @@ def expand_clip_indent(
   ccs_idx[consumes_r] = record.pos + np.arange(int(consumes_r.sum()))
 
   new_seq = np.full(aln_len, GAP_BYTE, dtype=np.uint8)
-  new_seq[consumes_q] = np.frombuffer(
-      record.seq.encode('ascii'), dtype=np.uint8
-  )
+  new_seq[consumes_q] = record.seq_bytes
 
   strand = (
       constants.Strand.REVERSE if record.is_reverse else constants.Strand.FORWARD
@@ -350,7 +347,7 @@ def construct_ccs_read(ccs_record: bam.BamRecord) -> AlignedRead:
 
   (reference: pre_lib.py:966-998)
   """
-  seq = np.frombuffer(ccs_record.seq.encode('ascii'), dtype=np.uint8)
+  seq = ccs_record.seq_bytes
   n = len(seq)
   tags = ccs_record.tags
   return AlignedRead(
