@@ -50,10 +50,22 @@ def masked_crc(data: bytes) -> int:
 class TFRecordWriter:
   """Writes TFRecord files; gzip-compressed when the path ends with .gz."""
 
-  def __init__(self, path: str, compressed: Optional[bool] = None):
+  def __init__(
+      self,
+      path: str,
+      compressed: Optional[bool] = None,
+      compresslevel: int = 4,
+  ):
+    # Python's gzip default (level 9) is ~10x slower than level 4 for ~2%
+    # size difference on example tensors; level 4 keeps the writer off the
+    # preprocess critical path.
     if compressed is None:
       compressed = path.endswith('.gz')
-    self._fh = gzip.open(path, 'wb') if compressed else open(path, 'wb')
+    self._fh = (
+        gzip.open(path, 'wb', compresslevel=compresslevel)
+        if compressed
+        else open(path, 'wb')
+    )
 
   def write(self, record: bytes) -> None:
     header = struct.pack('<Q', len(record))
