@@ -173,12 +173,24 @@ def get_quality_calibration_stats(
   return counts
 
 
+def _open_region_index(bam_path: str):
+  """BAI-backed fetch when an index exists (whole-genome scale);
+  in-memory scan otherwise."""
+  import os
+
+  if os.path.exists(bam_path + '.bai'):
+    from deepconsensus_tpu.io import bai
+
+    return bai.IndexedBamReader(bam_path)
+  return InMemoryBamIndex(bam_path)
+
+
 def calculate_for_intervals(
     args: Tuple,
 ) -> np.ndarray:
   """Worker: accumulate stats for a list of intervals."""
   bam_path, fasta_path, intervals, min_mapq, dc_calibration_str = args
-  index = InMemoryBamIndex(bam_path)
+  index = _open_region_index(bam_path)
   fasta = fastq.FastaReader(fasta_path)
   dc_cal = calibration_lib.parse_calibration_string(dc_calibration_str)
   total = np.zeros((MAX_BASEQ, 2), dtype=np.int64)

@@ -192,6 +192,34 @@ class BgzfWriter:
     self.close()
 
 
+def read_member_at(fh) -> Optional[tuple]:
+  """Parses one BGZF member at the file handle's position.
+
+  Returns (decompressed_bytes, compressed_size) or None at EOF.
+  """
+  header = fh.read(_BGZF_HEADER_LEN)
+  if len(header) < _BGZF_HEADER_LEN:
+    return None
+  if header[:2] != b'\x1f\x8b':
+    raise BgzfError('non-BGZF gzip member header')
+  xlen = struct.unpack('<H', header[10:12])[0]
+  extra = fh.read(xlen)
+  bsize = None
+  i = 0
+  while i + 4 <= len(extra):
+    si1, si2 = extra[i], extra[i + 1]
+    slen = struct.unpack('<H', extra[i + 2 : i + 4])[0]
+    if si1 == 66 and si2 == 67 and slen == 2:
+      bsize = struct.unpack('<H', extra[i + 4 : i + 6])[0] + 1
+    i += 4 + slen
+  if bsize is None:
+    raise BgzfError('gzip member missing BGZF BC subfield')
+  payload = fh.read(bsize - _BGZF_HEADER_LEN - xlen)
+  cdata = payload[:-8]
+  data = zlib.decompress(cdata, -15)
+  return data, bsize
+
+
 def iter_blocks(path: str) -> Iterator[bytes]:
   """Yields decompressed BGZF blocks of a file (testing/benchmark helper)."""
   with BgzfReader(path) as r:

@@ -132,6 +132,26 @@ class ZmwInput:
   window_widths: Optional[np.ndarray]
 
 
+def _load_truth_index(truth_to_ccs: str) -> Dict[str, List[bam.BamRecord]]:
+  """Truth lookup table; uses the .bai index when present (the reference
+  requires one, pre_lib.py:1304), else a one-pass in-memory scan."""
+  import os
+
+  bai_path = truth_to_ccs + '.bai'
+  if os.path.exists(bai_path):
+    from deepconsensus_tpu.io import bai
+
+    reader = bai.IndexedBamReader(truth_to_ccs, bai_path)
+    index: Dict[str, List[bam.BamRecord]] = {}
+    for name in reader.header.ref_names:
+      recs = list(reader.fetch(name))
+      if recs:
+        index[name] = recs
+    return index
+  _, index = bam.index_by_reference(truth_to_ccs)
+  return index
+
+
 def fetch_label_alignment(
     ccs_seqname: str,
     truth_index: Dict[str, List[bam.BamRecord]],
@@ -170,7 +190,7 @@ def create_proc_feeder(
 
   is_training = bool(truth_bed and truth_to_ccs and truth_split)
   if is_training:
-    _, truth_index = bam.index_by_reference(truth_to_ccs)
+    truth_index = _load_truth_index(truth_to_ccs)
     truth_ref_coords = read_truth_bedfile(truth_bed)
     truth_split_dict = read_truth_split(truth_split)
 
