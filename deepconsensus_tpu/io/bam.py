@@ -52,6 +52,9 @@ FLAG_REVERSE = 0x10
 FLAG_SECONDARY = 0x100
 FLAG_SUPPLEMENTARY = 0x800
 
+# Tags the native batch parser (libdcio dc_bam_parse_batch) pre-extracts.
+_FAST_TAG_NAMES = frozenset(('zm', 'pw', 'ip', 'sn', 'ec', 'np', 'rq'))
+
 
 class BamHeader:
   """BAM header: SAM text + reference dictionary."""
@@ -93,6 +96,8 @@ class BamRecord:
       '_seq_str',
       '_tag_blob',
       '_tags',
+      '_fast_tags',
+      '_fast_complete',
       'header',
   )
 
@@ -111,6 +116,12 @@ class BamRecord:
     self._seq_str: Optional[str] = None
     self._tag_blob: bytes = b''
     self._tags: Optional[Dict[str, Any]] = None
+    # Tags pre-extracted by the native batch parser (zm/pw/ip/sn/ec/np/rq).
+    # Takes precedence over the blob; merged into _tags on full parse.
+    # _fast_complete=True means the native parser saw every fast-name tag,
+    # so a miss in _fast_tags proves absence without parsing the blob.
+    self._fast_tags: Optional[Dict[str, Any]] = None
+    self._fast_complete = False
     self.header: Optional[BamHeader] = None
 
   # -- cigar access (lazy decode from raw u32 words) ----------------------
@@ -212,20 +223,40 @@ class BamRecord:
   @property
   def tags(self) -> Dict[str, Any]:
     if self._tags is None:
-      self._tags = _parse_tags(self._tag_blob)
+      blob = self._tag_blob
+      if not isinstance(blob, (bytes, bytearray)):
+        blob = bytes(blob)
+      self._tags = _parse_tags(blob)
+      if self._fast_tags:
+        # Fast-path values win: set_tag may have updated them pre-parse.
+        self._tags.update(self._fast_tags)
+      self._fast_tags = None
     return self._tags
 
   def get_tag(self, name: str) -> Any:
+    if self._fast_tags is not None:
+      if name in self._fast_tags:
+        return self._fast_tags[name]
+      if self._fast_complete and name in _FAST_TAG_NAMES:
+        raise KeyError(f'tag {name!r} not present on {self.qname}')
     try:
       return self.tags[name]
     except KeyError:
       raise KeyError(f'tag {name!r} not present on {self.qname}') from None
 
   def has_tag(self, name: str) -> bool:
+    if self._fast_tags is not None:
+      if name in self._fast_tags:
+        return True
+      if self._fast_complete and name in _FAST_TAG_NAMES:
+        return False
     return name in self.tags
 
   def set_tag(self, name: str, value: Any) -> None:
-    self.tags[name] = value
+    if self._tags is None and self._fast_tags is not None:
+      self._fast_tags[name] = value
+    else:
+      self.tags[name] = value
 
   @property
   def query_alignment_start(self) -> int:
@@ -356,18 +387,112 @@ def parse_record(blob: bytes, header: Optional[BamHeader] = None) -> BamRecord:
   return rec
 
 
+def _records_from_batch(
+    buf: bytes, header: Optional[BamHeader]
+) -> Optional[List[BamRecord]]:
+  """Builds all records from one native columnar parse (htslib-class speed).
+
+  Field arrays are decoded in a single C pass (seq nibbles, quals, cigar
+  words, names, and the hot PacBio tags); records hold zero-copy views into
+  the columnar buffers. Returns None when libdcio is unavailable so the
+  caller falls back to the per-record Python parser.
+  """
+  try:
+    from deepconsensus_tpu import native
+  except ImportError:
+    return None
+  scan = native.bam_scan(buf, 0)
+  if scan is None:
+    return None
+  batch = native.bam_parse_batch(buf, scan)
+  if batch is None:
+    return None
+
+  n = len(scan['offsets'])
+  offsets = scan['offsets'].tolist()
+  sizes = scan['sizes'].tolist()
+  ref_ids = scan['ref_ids'].tolist()
+  positions = scan['positions'].tolist()
+  flags = scan['flags'].tolist()
+  l_seqs = scan['l_seqs'].tolist()
+  mapqs = scan['mapqs'].tolist()
+  name_lens = scan['name_lens'].tolist()
+  n_cigars = scan['n_cigars'].tolist()
+  seq_starts = batch['seq_starts'].tolist()
+  cigar_starts = batch['cigar_starts'].tolist()
+  name_starts = batch['name_starts'].tolist()
+  qual_missing = batch['qual_missing'].tolist()
+  pw_lens = batch['pw_len'].tolist()
+  ip_lens = batch['ip_len'].tolist()
+  zms = batch['zm'].tolist()
+  ecs = batch['ec'].tolist()
+  nps = batch['np'].tolist()
+  rqs = batch['rq'].tolist()
+  presents = batch['present'].tolist()
+  seq_arr = batch['seq']
+  qual_arr = batch['qual']
+  cigar_arr = batch['cigar']
+  pw_arr = batch['pw']
+  ip_arr = batch['ip']
+  sn_arr = batch['sn']
+  all_names = batch['name'].tobytes().decode('ascii')
+  blob_view = memoryview(buf)
+
+  records: List[BamRecord] = []
+  for i in range(n):
+    rec = BamRecord()
+    rec.header = header
+    rec.ref_id = ref_ids[i]
+    rec.pos = positions[i]
+    rec.mapq = mapqs[i]
+    rec.flag = flags[i]
+    rec.qname = all_names[name_starts[i] : name_starts[i + 1]]
+    rec._cigar_raw = cigar_arr[cigar_starts[i] : cigar_starts[i + 1]]
+    s0, s1 = seq_starts[i], seq_starts[i + 1]
+    rec._seq_bytes = seq_arr[s0:s1]
+    rec._l_seq = l_seqs[i]
+    rec.qual = None if qual_missing[i] else qual_arr[s0:s1]
+    tag_off = (
+        offsets[i] + 32 + name_lens[i] + 4 * n_cigars[i]
+        + (l_seqs[i] + 1) // 2 + l_seqs[i]
+    )
+    rec._tag_blob = blob_view[tag_off : offsets[i] + sizes[i]]
+    m = presents[i]
+    ft = {}
+    if m & 1:
+      ft['zm'] = zms[i]
+    if m & 2:
+      ft['pw'] = pw_arr[s0 : s0 + pw_lens[i]]
+    if m & 4:
+      ft['ip'] = ip_arr[s0 : s0 + ip_lens[i]]
+    if m & 8:
+      ft['sn'] = sn_arr[i]
+    if m & 16:
+      ft['ec'] = ecs[i]
+    if m & 32:
+      ft['np'] = nps[i]
+    if m & 64:
+      ft['rq'] = rqs[i]
+    rec._fast_tags = ft
+    rec._fast_complete = not (m & 0x8000)
+    records.append(rec)
+  return records
+
+
 class BamReader:
   """Sequential BAM reader.
 
   eager=True (default) inflates the whole file up front — through the
-  native zlib fast path when libdcio is built — then parses records from
-  the in-memory buffer; per-shard BAMs fit easily. eager=False streams
-  BGZF blocks (bounded memory for arbitrarily large inputs).
+  native zlib fast path when libdcio is built — then parses records via a
+  single native columnar pass (falling back to per-record Python parsing);
+  per-shard BAMs fit easily. eager=False streams BGZF blocks (bounded
+  memory for arbitrarily large inputs).
   """
 
-  def __init__(self, path: str, eager: bool = True):
+  def __init__(self, path: str, eager: bool = True, native: bool = True):
     self._r = bgzf.BgzfReader(path)
     self._buf: Optional[bytes] = None
+    self._fast_records: Optional[List[BamRecord]] = None
     self._pos = 0
     magic = self._r.read(4)
     if magic != _BAM_MAGIC:
@@ -383,13 +508,24 @@ class BamReader:
       refs.append((name, l_ref))
     self.header = BamHeader(text, refs)
     if eager:
-      self._buf = self._r.read_all()
+      # Array form feeds the native columnar parser without extra copies.
+      self._buf = self._r.read_all(as_array=native)
       self._r.close()
+      if native:
+        self._fast_records = _records_from_batch(self._buf, self.header)
+        if self._fast_records is None and not isinstance(self._buf, bytes):
+          self._buf = self._buf.tobytes()  # per-record fallback needs bytes
 
   def __iter__(self) -> Iterator[BamRecord]:
     return self
 
   def __next__(self) -> BamRecord:
+    if self._fast_records is not None:
+      if self._pos >= len(self._fast_records):
+        raise StopIteration
+      rec = self._fast_records[self._pos]
+      self._pos += 1
+      return rec
     if self._buf is not None:
       if self._pos + 4 > len(self._buf):
         raise StopIteration
@@ -520,7 +656,7 @@ class BamWriter:
 
   def write_record(self, rec: BamRecord, tags: Optional[bytes] = None) -> None:
     if tags is None:
-      tags = rec._tag_blob  # pylint: disable=protected-access
+      tags = bytes(rec._tag_blob)  # pylint: disable=protected-access
     self.write_blob(
         build_record_blob(
             rec.qname,

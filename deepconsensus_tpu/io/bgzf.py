@@ -99,16 +99,21 @@ class BgzfReader:
       self._buf_pos = 0
     return out
 
-  def read_all(self) -> bytes:
-    """Reads the remaining decompressed stream (native fast path if built)."""
+  def read_all(self, as_array: bool = False):
+    """Reads the remaining decompressed stream (native fast path if built).
+
+    as_array=True returns a numpy uint8 array (zero extra copies through
+    the threaded native inflate) when available; otherwise bytes.
+    """
     from deepconsensus_tpu import native
 
     raw = self._fh.read()
     if raw:
-      inflated = native.bgzf_decompress_all(raw)
+      head = bytes(self._buf[self._buf_pos :])
+      inflated = native.bgzf_decompress_into(raw, head=head)
       if inflated is None:
         # Pure-Python fallback: walk the remaining members.
-        chunks = [self._buf[self._buf_pos :]]
+        chunks = [head]
         self._buf = b''
         self._buf_pos = 0
         import io
@@ -121,15 +126,18 @@ class BgzfReader:
           chunks.append(block)
         self._eof = True
         return b''.join(chunks)
-      head = self._buf[self._buf_pos :]
       self._buf = b''
       self._buf_pos = 0
       self._eof = True
-      return head + inflated
+      return inflated if as_array else inflated.tobytes()
     head = self._buf[self._buf_pos :]
     self._buf = b''
     self._buf_pos = 0
     self._eof = True
+    if as_array:
+      import numpy as np
+
+      return np.frombuffer(head, dtype=np.uint8)
     return head
 
 

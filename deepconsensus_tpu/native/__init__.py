@@ -22,13 +22,17 @@ _tried = False
 
 def _build() -> bool:
   try:
+    # Build to a temp path and rename so a reload after rebuild sees a new
+    # inode (dlopen caches handles by dev/inode, not path).
+    tmp = _LIB_PATH + '.tmp'
     subprocess.run(
-        ['g++', '-O3', '-fPIC', '-shared', '-o', _LIB_PATH,
+        ['g++', '-O3', '-fPIC', '-shared', '-pthread', '-o', tmp,
          os.path.join(_DIR, 'bgzf_ext.cc'), '-lz'],
         check=True,
         capture_output=True,
         timeout=120,
     )
+    os.replace(tmp, _LIB_PATH)
     return True
   except Exception as e:  # no compiler / no zlib headers: fall back
     logger.debug('native build failed: %s', e)
@@ -63,6 +67,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
   lib.dc_bam_scan.restype = c
   lib.dc_bam_scan.argtypes = [u8p, c, c, c, llp, i32p, i32p, i32p, i32p,
                               i32p, i32p, i32p, i32p]
+  u16p = ctypes.POINTER(ctypes.c_uint16)
+  u32p = ctypes.POINTER(ctypes.c_uint32)
+  i64p = ctypes.POINTER(ctypes.c_int64)
+  f32p = ctypes.POINTER(ctypes.c_float)
+  parse_sig = [
+      u8p, c, llp, i32p, llp, llp, llp,        # buf, n, offsets, sizes, starts
+      u8p, u8p, u8p, u32p, u8p,                # seq, qual, qual_missing, cigar, name
+      u16p, i32p, u16p, i32p, f32p,            # pw, pw_len, ip, ip_len, sn
+      i64p, f32p, i32p, f32p, u16p,            # zm, ec, np, rq, present
+  ]
+  try:
+    lib.dc_bam_parse_batch.restype = c
+    lib.dc_bam_parse_batch.argtypes = parse_sig
+    lib.dc_bam_parse_batch_mt.restype = c
+    lib.dc_bam_parse_batch_mt.argtypes = parse_sig + [ctypes.c_int]
+    lib.dc_bgzf_decompress_mt.restype = c
+    lib.dc_bgzf_decompress_mt.argtypes = [u8p, c, u8p, c, ctypes.c_int]
+  except AttributeError:
+    # Library built from an older source revision: rebuild once.
+    del lib
+    _lib = None
+    if _build():
+      _tried = False
+      return get_lib()
+    return None
   _lib = lib
   return _lib
 
@@ -74,22 +103,52 @@ def _as_u8p(buf) -> 'ctypes.POINTER(ctypes.c_uint8)':
   )
 
 
+def _ro_u8p(buf):
+  """Zero-copy read-only uint8 pointer into a bytes object.
+
+  The C side treats it as const; keep `buf` alive for the call duration.
+  """
+  import numpy as np
+
+  arr = np.frombuffer(buf, dtype=np.uint8)
+  return ctypes.cast(arr.ctypes.data, ctypes.POINTER(ctypes.c_uint8))
+
+
 def bgzf_decompress_all(raw: bytes) -> Optional[bytes]:
   """Inflates a whole BGZF byte string; None if native path unavailable."""
-  lib = get_lib()
-  if lib is None:
+  arr = bgzf_decompress_into(raw)
+  if arr is None:
     return None
-  src = _as_u8p(raw)
+  return arr.tobytes()
+
+
+def bgzf_decompress_into(raw: bytes, head: bytes = b'',
+                         threads: Optional[int] = None):
+  """Threaded BGZF inflate into a fresh numpy uint8 array.
+
+  Returns `head + inflate(raw)` as one array with no intermediate copies,
+  or None if the native path is unavailable. BGZF members are inflated in
+  parallel (they are independent deflate streams with known output sizes).
+  """
+  lib = get_lib()
+  if lib is None or not hasattr(lib, 'dc_bgzf_decompress_mt'):
+    return None
+  import numpy as np
+
+  src = _ro_u8p(raw)
   size = lib.dc_bgzf_decompressed_size(src, len(raw))
   if size < 0:
     return None
-  dst = ctypes.create_string_buffer(size)
-  n = lib.dc_bgzf_decompress(
-      src, len(raw), ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), size
-  )
+  if threads is None:
+    threads = min(8, os.cpu_count() or 1)
+  out = np.empty(len(head) + size, np.uint8)
+  if head:
+    out[: len(head)] = np.frombuffer(head, np.uint8)
+  dst = ctypes.cast(out.ctypes.data + len(head), ctypes.POINTER(ctypes.c_uint8))
+  n = lib.dc_bgzf_decompress_mt(src, len(raw), dst, size, threads)
   if n != size:
     return None
-  return dst.raw
+  return out
 
 
 def bgzf_compress(data: bytes, level: int = 6) -> Optional[bytes]:
@@ -115,6 +174,77 @@ def crc32c(data: bytes, crc: int = 0) -> Optional[int]:
   return int(lib.dc_crc32c(_as_u8p(data), len(data), crc))
 
 
+def bam_parse_batch(buf: bytes, scan: dict):
+  """Decodes all scanned records into columnar arrays in one native pass.
+
+  `scan` is the dict returned by bam_scan. Returns a dict of numpy arrays
+  (see keys below) or None if the native path is unavailable/fails. Element
+  layouts: seq/qual/pw/ip indexed by seq_starts, cigar by cigar_starts,
+  names by name_starts; sn is (n, 4); `present` is the per-record tag
+  bitmask (1=zm 2=pw 4=ip 8=sn 16=ec 32=np 64=rq).
+  """
+  lib = get_lib()
+  if lib is None or not hasattr(lib, 'dc_bam_parse_batch'):
+    return None
+  import numpy as np
+
+  n = len(scan['offsets'])
+  l_seqs = scan['l_seqs'].astype(np.int64)
+  n_cigars = scan['n_cigars'].astype(np.int64)
+  name_lens = scan['name_lens'].astype(np.int64) - 1  # drop trailing NUL
+  seq_starts = np.concatenate([[0], np.cumsum(l_seqs)])
+  cigar_starts = np.concatenate([[0], np.cumsum(n_cigars)])
+  name_starts = np.concatenate([[0], np.cumsum(name_lens)])
+
+  out = {
+      'seq': np.empty(int(seq_starts[-1]), np.uint8),
+      'qual': np.empty(int(seq_starts[-1]), np.uint8),
+      'qual_missing': np.zeros(n, np.uint8),
+      'cigar': np.empty(int(cigar_starts[-1]), np.dtype('<u4')),
+      'name': np.empty(int(name_starts[-1]), np.uint8),
+      # pw/ip are np.empty, not zeros: only the written prefix of each
+      # record's slot (pw_len/ip_len elements) is ever exposed.
+      'pw': np.empty(int(seq_starts[-1]), np.uint16),
+      'pw_len': np.zeros(n, np.int32),
+      'ip': np.empty(int(seq_starts[-1]), np.uint16),
+      'ip_len': np.zeros(n, np.int32),
+      'sn': np.zeros((n, 4), np.float32),
+      'zm': np.zeros(n, np.int64),
+      'ec': np.zeros(n, np.float32),
+      'np': np.zeros(n, np.int32),
+      'rq': np.zeros(n, np.float32),
+      'present': np.zeros(n, np.uint16),
+  }
+
+  def ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+  offsets = np.ascontiguousarray(scan['offsets'], dtype=np.int64)
+  sizes = np.ascontiguousarray(scan['sizes'], dtype=np.int32)
+  rc = lib.dc_bam_parse_batch_mt(
+      _ro_u8p(buf), n,
+      ptr(offsets, ctypes.c_longlong), ptr(sizes, ctypes.c_int32),
+      ptr(seq_starts, ctypes.c_longlong),
+      ptr(cigar_starts, ctypes.c_longlong),
+      ptr(name_starts, ctypes.c_longlong),
+      ptr(out['seq'], ctypes.c_uint8), ptr(out['qual'], ctypes.c_uint8),
+      ptr(out['qual_missing'], ctypes.c_uint8),
+      ptr(out['cigar'], ctypes.c_uint32), ptr(out['name'], ctypes.c_uint8),
+      ptr(out['pw'], ctypes.c_uint16), ptr(out['pw_len'], ctypes.c_int32),
+      ptr(out['ip'], ctypes.c_uint16), ptr(out['ip_len'], ctypes.c_int32),
+      ptr(out['sn'], ctypes.c_float), ptr(out['zm'], ctypes.c_int64),
+      ptr(out['ec'], ctypes.c_float), ptr(out['np'], ctypes.c_int32),
+      ptr(out['rq'], ctypes.c_float), ptr(out['present'], ctypes.c_uint16),
+      min(8, os.cpu_count() or 1),
+  )
+  if rc != 0:
+    return None
+  out['seq_starts'] = seq_starts
+  out['cigar_starts'] = cigar_starts
+  out['name_starts'] = name_starts
+  return out
+
+
 def bam_scan(buf: bytes, start: int):
   """Scans record offsets/fields; returns dict of numpy arrays or None."""
   lib = get_lib()
@@ -132,7 +262,7 @@ def bam_scan(buf: bytes, start: int):
       )
   }
   n = lib.dc_bam_scan(
-      _as_u8p(buf),
+      _ro_u8p(buf),
       len(buf),
       start,
       max_records,

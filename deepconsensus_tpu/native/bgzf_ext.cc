@@ -9,6 +9,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include <zlib.h>
 
@@ -129,6 +131,358 @@ long long dc_bam_scan(const uint8_t* buf, long long n, long long start,
     i++;
   }
   return i;
+}
+
+// Full batch record parser. Given the scan output (offsets/sizes per
+// record), decodes every record's variable-length fields into columnar
+// caller-allocated buffers in one pass: read names, cigar words, 4-bit
+// sequence -> ASCII, qualities, and the PacBio aux tags on the hot path
+// (zm/pw/ip/sn/ec/np/rq). Tags outside that set stay in the record's tag
+// blob for the Python fallback parser. Returns 0, or -1 on malformed input.
+//
+// Layouts (element offsets precomputed by the caller):
+//   seq/qual/pw/ip buffers are indexed by seq_starts[i] (prefix sum of
+//   l_seq); cigar_out by cigar_starts[i]; name_out by name_starts[i]
+//   (names stored without the trailing NUL). sn_out has 4 floats per
+//   record. `present` is a bitmask per record:
+//     1=zm 2=pw 4=ip 8=sn 16=ec 32=np 64=rq; 0x8000 = a tag with one of
+//     those names was seen but not extracted (unusual subtype/length), so
+//     the caller must fall back to the blob parser for misses.
+static uint16_t seq_pair_lut[256];
+static bool seq_lut_done = false;
+
+static void seq_lut_init() {
+  static const char* nib = "=ACMGRSVTWYHKDBN";
+  for (int b = 0; b < 256; b++) {
+    seq_pair_lut[b] = (uint16_t)(uint8_t)nib[b >> 4] |
+                      ((uint16_t)(uint8_t)nib[b & 0xF] << 8);
+  }
+  seq_lut_done = true;
+}
+
+struct ParseArgs {
+  const uint8_t* buf;
+  const long long* offsets;
+  const int32_t* sizes;
+  const long long* seq_starts;
+  const long long* cigar_starts;
+  const long long* name_starts;
+  uint8_t* seq_out;
+  uint8_t* qual_out;
+  uint8_t* qual_missing;
+  uint32_t* cigar_out;
+  uint8_t* name_out;
+  uint16_t* pw_out;
+  int32_t* pw_len;
+  uint16_t* ip_out;
+  int32_t* ip_len;
+  float* sn_out;
+  int64_t* zm_out;
+  float* ec_out;
+  int32_t* np_out;
+  float* rq_out;
+  uint16_t* present;
+};
+
+static long long parse_records_range(const ParseArgs& a, long long lo,
+                                     long long hi) {
+  const uint8_t* buf = a.buf;
+  const long long* offsets = a.offsets;
+  const int32_t* sizes = a.sizes;
+  const long long* seq_starts = a.seq_starts;
+  const long long* cigar_starts = a.cigar_starts;
+  const long long* name_starts = a.name_starts;
+  uint8_t* seq_out = a.seq_out;
+  uint8_t* qual_out = a.qual_out;
+  uint8_t* qual_missing = a.qual_missing;
+  uint32_t* cigar_out = a.cigar_out;
+  uint8_t* name_out = a.name_out;
+  uint16_t* pw_out = a.pw_out;
+  int32_t* pw_len = a.pw_len;
+  uint16_t* ip_out = a.ip_out;
+  int32_t* ip_len = a.ip_len;
+  float* sn_out = a.sn_out;
+  int64_t* zm_out = a.zm_out;
+  float* ec_out = a.ec_out;
+  int32_t* np_out = a.np_out;
+  float* rq_out = a.rq_out;
+  uint16_t* present = a.present;
+  for (long long i = lo; i < hi; i++) {
+    const uint8_t* r = buf + offsets[i];
+    const uint8_t* end = r + sizes[i];
+    int l_read_name = r[8];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, r + 12, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, r + 16, 4);
+    const uint8_t* p = r + 32;
+    if (p + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq > end)
+      return -1;
+    std::memcpy(name_out + name_starts[i], p, l_read_name - 1);
+    p += l_read_name;
+    std::memcpy(cigar_out + cigar_starts[i], p, 4LL * n_cigar);
+    p += 4LL * n_cigar;
+    // 4-bit sequence -> ASCII, two bases per packed byte.
+    uint8_t* s = seq_out + seq_starts[i];
+    int32_t pairs = l_seq / 2;
+    for (int32_t k = 0; k < pairs; k++) {
+      uint16_t two = seq_pair_lut[p[k]];
+      s[2 * k] = (uint8_t)two;
+      s[2 * k + 1] = (uint8_t)(two >> 8);
+    }
+    if (l_seq & 1) s[l_seq - 1] = (uint8_t)seq_pair_lut[p[pairs]];
+    p += (l_seq + 1) / 2;
+    std::memcpy(qual_out + seq_starts[i], p, l_seq);
+    qual_missing[i] = (l_seq > 0 && p[0] == 0xFF) ? 1 : 0;
+    p += l_seq;
+
+    // Aux tag walk; extract the fixed PacBio set, skip everything else.
+    uint16_t mask = 0;
+    pw_len[i] = 0;
+    ip_len[i] = 0;
+    while (p + 3 <= end) {
+      uint16_t key = (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+      uint8_t typ = p[2];
+      p += 3;
+      long long ival = 0;
+      double fval = 0;
+      bool is_int = false, is_float = false;
+      int scalar_size = 0;
+      switch (typ) {
+        case 'c': scalar_size = 1; is_int = true; ival = *(const int8_t*)p; break;
+        case 'C': scalar_size = 1; is_int = true; ival = *p; break;
+        case 's': { int16_t v; std::memcpy(&v, p, 2); ival = v; scalar_size = 2; is_int = true; break; }
+        case 'S': { uint16_t v; std::memcpy(&v, p, 2); ival = v; scalar_size = 2; is_int = true; break; }
+        case 'i': { int32_t v; std::memcpy(&v, p, 4); ival = v; scalar_size = 4; is_int = true; break; }
+        case 'I': { uint32_t v; std::memcpy(&v, p, 4); ival = v; scalar_size = 4; is_int = true; break; }
+        case 'f': { float v; std::memcpy(&v, p, 4); fval = v; scalar_size = 4; is_float = true; break; }
+        case 'A': scalar_size = 1; break;
+        case 'Z':
+        case 'H': {
+          const uint8_t* z = (const uint8_t*)std::memchr(p, 0, end - p);
+          if (z == nullptr) return -1;
+          p = z + 1;
+          switch (key) {  // fast-name tag with a string type: not extracted
+            case (uint16_t)'z' | ((uint16_t)'m' << 8):
+            case (uint16_t)'p' | ((uint16_t)'w' << 8):
+            case (uint16_t)'i' | ((uint16_t)'p' << 8):
+            case (uint16_t)'s' | ((uint16_t)'n' << 8):
+            case (uint16_t)'e' | ((uint16_t)'c' << 8):
+            case (uint16_t)'n' | ((uint16_t)'p' << 8):
+            case (uint16_t)'r' | ((uint16_t)'q' << 8):
+              mask |= 0x8000;
+          }
+          continue;
+        }
+        case 'B': {
+          if (p + 5 > end) return -1;
+          uint8_t sub = p[0];
+          int32_t count;
+          std::memcpy(&count, p + 1, 4);
+          int isz;
+          switch (sub) {
+            case 'c': case 'C': isz = 1; break;
+            case 's': case 'S': isz = 2; break;
+            case 'i': case 'I': case 'f': isz = 4; break;
+            default: return -1;
+          }
+          const uint8_t* data = p + 5;
+          if (data + (long long)count * isz > end) return -1;
+          bool is_pw = key == ((uint16_t)'p' | ((uint16_t)'w' << 8));
+          bool is_ip = key == ((uint16_t)'i' | ((uint16_t)'p' << 8));
+          bool is_sn = key == ((uint16_t)'s' | ((uint16_t)'n' << 8));
+          if ((is_pw || is_ip) && count <= l_seq &&
+              (sub == 'C' || sub == 'S')) {
+            uint16_t* out =
+                is_pw ? pw_out + seq_starts[i] : ip_out + seq_starts[i];
+            if (sub == 'C') {
+              for (int32_t k = 0; k < count; k++) out[k] = data[k];
+            } else {
+              std::memcpy(out, data, 2LL * count);
+            }
+            if (is_pw) {
+              pw_len[i] = count;
+              mask |= 2;
+            } else {
+              ip_len[i] = count;
+              mask |= 4;
+            }
+          } else if (is_sn && sub == 'f' && count == 4) {
+            std::memcpy(sn_out + 4 * i, data, 16);
+            mask |= 8;
+          } else if (is_pw || is_ip || is_sn) {
+            mask |= 0x8000;  // fast-name tag present but not extracted
+          }
+          p = data + (long long)count * isz;
+          continue;
+        }
+        default:
+          return -1;
+      }
+      if (p + scalar_size > end) return -1;
+      {
+        const uint16_t kzm = (uint16_t)'z' | ((uint16_t)'m' << 8);
+        const uint16_t knp = (uint16_t)'n' | ((uint16_t)'p' << 8);
+        const uint16_t kec = (uint16_t)'e' | ((uint16_t)'c' << 8);
+        const uint16_t krq = (uint16_t)'r' | ((uint16_t)'q' << 8);
+        if (is_int && key == kzm) {
+          zm_out[i] = ival;
+          mask |= 1;
+        } else if (is_int && key == knp) {
+          np_out[i] = (int32_t)ival;
+          mask |= 32;
+        } else if (is_float && key == kec) {
+          ec_out[i] = (float)fval;
+          mask |= 16;
+        } else if (is_float && key == krq) {
+          rq_out[i] = (float)fval;
+          mask |= 64;
+        } else if (key == kzm || key == knp || key == kec || key == krq) {
+          mask |= 0x8000;  // unexpected scalar type for a fast-name tag
+        }
+      }
+      p += scalar_size;
+    }
+    present[i] = mask;
+  }
+  return 0;
+}
+
+long long dc_bam_parse_batch(
+    const uint8_t* buf, long long n_records, const long long* offsets,
+    const int32_t* sizes, const long long* seq_starts,
+    const long long* cigar_starts, const long long* name_starts,
+    uint8_t* seq_out, uint8_t* qual_out, uint8_t* qual_missing,
+    uint32_t* cigar_out, uint8_t* name_out, uint16_t* pw_out,
+    int32_t* pw_len, uint16_t* ip_out, int32_t* ip_len, float* sn_out,
+    int64_t* zm_out, float* ec_out, int32_t* np_out, float* rq_out,
+    uint16_t* present) {
+  if (!seq_lut_done) seq_lut_init();
+  ParseArgs a = {buf,      offsets, sizes,  seq_starts, cigar_starts,
+                 name_starts, seq_out, qual_out, qual_missing, cigar_out,
+                 name_out, pw_out,  pw_len, ip_out,     ip_len,
+                 sn_out,   zm_out,  ec_out, np_out,     rq_out,
+                 present};
+  return parse_records_range(a, 0, n_records);
+}
+
+// Threaded variant: records are independent and all output regions are
+// disjoint (columnar layouts are per-record), so a static partition of the
+// record range is race-free.
+long long dc_bam_parse_batch_mt(
+    const uint8_t* buf, long long n_records, const long long* offsets,
+    const int32_t* sizes, const long long* seq_starts,
+    const long long* cigar_starts, const long long* name_starts,
+    uint8_t* seq_out, uint8_t* qual_out, uint8_t* qual_missing,
+    uint32_t* cigar_out, uint8_t* name_out, uint16_t* pw_out,
+    int32_t* pw_len, uint16_t* ip_out, int32_t* ip_len, float* sn_out,
+    int64_t* zm_out, float* ec_out, int32_t* np_out, float* rq_out,
+    uint16_t* present, int n_threads) {
+  if (!seq_lut_done) seq_lut_init();
+  ParseArgs a = {buf,      offsets, sizes,  seq_starts, cigar_starts,
+                 name_starts, seq_out, qual_out, qual_missing, cigar_out,
+                 name_out, pw_out,  pw_len, ip_out,     ip_len,
+                 sn_out,   zm_out,  ec_out, np_out,     rq_out,
+                 present};
+  if (n_threads <= 1 || n_records < 256) {
+    return parse_records_range(a, 0, n_records);
+  }
+  // Partition by record count; records are similar-sized within a shard.
+  std::vector<std::thread> threads;
+  std::vector<long long> rcs(n_threads, 0);
+  long long chunk = (n_records + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long long lo = t * chunk;
+    long long hi = lo + chunk < n_records ? lo + chunk : n_records;
+    if (lo >= hi) break;
+    threads.emplace_back(
+        [&a, &rcs, t, lo, hi] { rcs[t] = parse_records_range(a, lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < n_threads; t++) {
+    if (rcs[t] != 0) return -1;
+  }
+  return 0;
+}
+
+// Threaded BGZF inflate: one serial header scan indexes all members, then
+// threads inflate disjoint members into their precomputed output offsets.
+long long dc_bgzf_decompress_mt(const uint8_t* src, long long n, uint8_t* dst,
+                                long long cap, int n_threads) {
+  struct Member {
+    long long src_off, dst_off, bsize;
+    uint32_t isize;
+  };
+  std::vector<Member> members;
+  long long off = 0, out = 0;
+  while (off + 28 <= n) {
+    if (src[off] != 0x1f || src[off + 1] != 0x8b) return -1;
+    uint16_t xlen;
+    std::memcpy(&xlen, src + off + 10, 2);
+    long long extra = off + 12;
+    long long bsize = -1;
+    long long end = extra + xlen;
+    while (extra + 4 <= end) {
+      uint8_t si1 = src[extra], si2 = src[extra + 1];
+      uint16_t slen;
+      std::memcpy(&slen, src + extra + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t b;
+        std::memcpy(&b, src + extra + 4, 2);
+        bsize = (long long)b + 1;
+      }
+      extra += 4 + slen;
+    }
+    if (bsize < 0 || off + bsize > n) return -1;
+    uint32_t isize;
+    std::memcpy(&isize, src + off + bsize - 4, 4);
+    if (out + isize > cap) return -1;
+    members.push_back({off, out, bsize, isize});
+    out += isize;
+    off += bsize;
+  }
+  auto inflate_range = [&](size_t lo, size_t hi) -> long long {
+    for (size_t i = lo; i < hi; i++) {
+      const Member& m = members[i];
+      uint16_t xlen;
+      std::memcpy(&xlen, src + m.src_off + 10, 2);
+      const uint8_t* cdata = src + m.src_off + 12 + xlen;
+      long long clen = m.bsize - 12 - xlen - 8;
+      z_stream zs;
+      std::memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) return -1;
+      zs.next_in = const_cast<uint8_t*>(cdata);
+      zs.avail_in = (uInt)clen;
+      zs.next_out = dst + m.dst_off;
+      zs.avail_out = m.isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END && !(rc == Z_OK && m.isize == 0) &&
+          !(rc == Z_BUF_ERROR && m.isize == 0)) {
+        return -1;
+      }
+    }
+    return 0;
+  };
+  if (n_threads <= 1 || members.size() < 8) {
+    if (inflate_range(0, members.size()) != 0) return -1;
+    return out;
+  }
+  std::vector<std::thread> threads;
+  std::vector<long long> rcs(n_threads, 0);
+  size_t chunk = (members.size() + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = (size_t)t * chunk;
+    size_t hi = lo + chunk < members.size() ? lo + chunk : members.size();
+    if (lo >= hi) break;
+    threads.emplace_back(
+        [&, t, lo, hi] { rcs[t] = inflate_range(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < n_threads; t++) {
+    if (rcs[t] != 0) return -1;
+  }
+  return out;
 }
 
 // CRC32C (Castagnoli), slicing-by-8, for TFRecord framing.

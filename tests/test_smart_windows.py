@@ -26,7 +26,7 @@ def wl_tagged_ccs(tmp_path_factory):
       if n % 90:
         widths.append(n % 90)
       extra = bam.encode_tag('wl', np.array(widths, dtype=np.int32), 'B')
-      w.write_record(rec, tags=rec._tag_blob + extra)
+      w.write_record(rec, tags=bytes(rec._tag_blob) + extra)
   return path
 
 
