@@ -105,12 +105,20 @@ def bench_full_pipeline(checkpoint: str, repeats: int = 6):
     assert n == len(inputs), (n, len(inputs))
     if r > 0:  # first pass pays jit compilation
       best_rate = max(best_rate, n / dt)
+      # Keep the watchdog fallback current: a wedged tunnel later in the
+      # run must not zero out measurements already taken.
+      _partial['zmws_per_sec'] = best_rate
   return best_rate
 
 
 def bench_model_windows(checkpoint: str, batch_size: int = 1024,
-                        iters: int = 20):
-  """Raw jitted forward throughput at fixed batch size."""
+                        iters: int = 20, time_budget_s: float = 90.0):
+  """Raw jitted forward throughput at fixed batch size.
+
+  Iterations are time-budgeted: on a slow tunnel phase (dispatch latency
+  can swing 0.3-45s) the loop stops early with whatever it measured
+  rather than eating the whole watchdog window.
+  """
   import jax
   import numpy as np
 
@@ -125,11 +133,22 @@ def bench_model_windows(checkpoint: str, batch_size: int = 1024,
   ids, maxp = runner.predict(rows)
   jax.block_until_ready((ids, maxp))
   t0 = time.time()
+  done = 0
+  pending = []
   for _ in range(iters):
-    ids, maxp = runner.predict(rows)
-  jax.block_until_ready((ids, maxp))
+    pending.append(runner.predict(rows))
+    done += 1
+    # Keep a 2-deep async pipeline: dispatch overlaps compute, but the
+    # budget check still sees real elapsed time.
+    if len(pending) > 2:
+      jax.block_until_ready(pending.pop(0))
+    if time.time() - t0 > time_budget_s:
+      break
+  jax.block_until_ready(pending)
   dt = time.time() - t0
-  return batch_size * iters / dt
+  rate = batch_size * done / dt
+  _partial['windows_per_sec'] = max(_partial.get('windows_per_sec', 0.0), rate)
+  return rate
 
 
 _partial = {}
@@ -166,10 +185,11 @@ def main():
   signal.alarm(480)
 
   checkpoint = ensure_checkpoint()
-  windows_per_sec = bench_model_windows(checkpoint)
-  _partial['windows_per_sec'] = windows_per_sec
+  # Headline metric first: if the tunnel wedges mid-run, the watchdog
+  # fallback already has the number that matters.
   zmws_per_sec = bench_full_pipeline(checkpoint)
   _partial['zmws_per_sec'] = zmws_per_sec
+  windows_per_sec = bench_model_windows(checkpoint)
   signal.alarm(0)
   _emit(
       zmws_per_sec, {'windows_per_sec_batch1024': round(windows_per_sec, 1)}
