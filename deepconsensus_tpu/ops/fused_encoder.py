@@ -7,6 +7,13 @@ Intermediates (q/k/v, attention logits, softmax weights, context, FFN
 activations) never touch HBM; the only HBM traffic per layer is the
 (B, L, E) activations in/out and one pass over the layer's weights.
 
+Why per-layer (not whole-stack) fusion: the 6-layer encoder's weights are
+~35 MB f32 (17.5 MB bf16) against ~16 MB VMEM/core, so a fully
+weight-resident whole-stack kernel cannot fit; one layer (~5.9 MB) plus an
+activation block is the largest working set that stays resident. Layer
+weights stream from HBM once per layer per batch block, which at the
+production batch sizes is already amortized to noise.
+
 Memory strategy per grid step (one batch block):
 * activations block (BLOCK_B, L, E) resident in VMEM;
 * attention computed per head with MXU dot_generals;
