@@ -29,7 +29,10 @@ class SubreadGrouper:
   """
 
   def __init__(self, subreads_to_ccs: str, reader_threads: int = 1):
-    del reader_threads  # Reserved for the C++ fast path.
+    # The native reader already threads BGZF inflate and record decode
+    # across all cores (io/bam.py batch path); the flag is accepted for
+    # reference CLI compatibility (--bam_reader_threads).
+    del reader_threads
     self._reader = bam.BamReader(subreads_to_ccs)
     self.header = self._reader.header
     self._pending: List[bam.BamRecord] = []

@@ -17,6 +17,10 @@ def test_bgzf_roundtrip():
     w.write(data)
   with bgzf.BgzfReader(path) as r:
     assert r.read_all() == data
+  # Array form (threaded native inflate) yields identical bytes.
+  with bgzf.BgzfReader(path) as r:
+    arr = r.read_all(as_array=True)
+    assert bytes(arr) == data
   os.unlink(path)
 
 
