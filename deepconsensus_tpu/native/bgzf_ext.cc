@@ -215,6 +215,7 @@ static long long parse_records_range(const ParseArgs& a, long long lo,
     std::memcpy(&n_cigar, r + 12, 2);
     int32_t l_seq;
     std::memcpy(&l_seq, r + 16, 4);
+    if (l_read_name < 1 || l_seq < 0) return -1;  // corrupt record
     const uint8_t* p = r + 32;
     if (p + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq > end)
       return -1;
