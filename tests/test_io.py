@@ -24,6 +24,25 @@ def test_bgzf_roundtrip():
   os.unlink(path)
 
 
+def test_bgzf_many_members_threaded_inflate():
+  """>8 BGZF members takes the parallel-inflate path (one per thread)."""
+  rng = np.random.default_rng(7)
+  # Compressible + incompressible mix across ~23 members (64KB chunks).
+  data = (
+      rng.integers(0, 4, 700_000, dtype=np.uint8).tobytes()
+      + os.urandom(800_000)
+  )
+  path = tempfile.mktemp(suffix='.gz')
+  with bgzf.BgzfWriter(path) as w:
+    w.write(data)
+  with bgzf.BgzfReader(path) as r:
+    assert r.read_all() == data
+  with bgzf.BgzfReader(path) as r:
+    arr = r.read_all(as_array=True)
+    assert bytes(arr) == data
+  os.unlink(path)
+
+
 def test_bam_reader_bundled_counts():
   header, recs = bam.read_all(f'{HUMAN_1M}/subreads_to_ccs.bam')
   assert len(recs) == 93
