@@ -135,7 +135,8 @@ def fused_encoder_layer(
         x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn, win
     )
   kernel = functools.partial(_fused_layer_kernel, win=win)
-  ms = pltpu.ANY if interpret else pltpu.VMEM
+  any_space = getattr(pl, 'ANY', None) or pltpu.ANY
+  ms = any_space if interpret else pltpu.VMEM
 
   def fixed(shape):
     nargs = len(shape)
