@@ -45,7 +45,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
   if _lib is not None or _tried:
     return _lib
   _tried = True
-  if not os.path.exists(_LIB_PATH) and not _build():
+  stale = True
+  try:
+    stale = os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+        os.path.join(_DIR, 'bgzf_ext.cc')
+    )
+  except OSError:
+    pass  # missing library (or source): treat as stale
+  if stale and not _build() and not os.path.exists(_LIB_PATH):
     return None
   try:
     lib = ctypes.CDLL(_LIB_PATH)
@@ -191,6 +198,15 @@ def bam_parse_batch(buf: bytes, scan: dict):
   n = len(scan['offsets'])
   l_seqs = scan['l_seqs'].astype(np.int64)
   n_cigars = scan['n_cigars'].astype(np.int64)
+  # Scan fields come straight from the (untrusted) file; validate before
+  # they size allocations so corrupt records fall back to the Python
+  # parser instead of raising out of the cumsum/empty calls below.
+  if n and (
+      int(scan['name_lens'].min()) < 1
+      or int(l_seqs.min()) < 0
+      or int(n_cigars.min()) < 0
+  ):
+    return None
   name_lens = scan['name_lens'].astype(np.int64) - 1  # drop trailing NUL
   seq_starts = np.concatenate([[0], np.cumsum(l_seqs)])
   cigar_starts = np.concatenate([[0], np.cumsum(n_cigars)])
@@ -252,31 +268,38 @@ def bam_scan(buf: bytes, start: int):
     return None
   import numpy as np
 
-  max_records = max(16, len(buf) // 40)
-  offsets = np.zeros(max_records, np.int64)
-  fields = {
-      name: np.zeros(max_records, np.int32)
-      for name in (
-          'sizes', 'ref_ids', 'positions', 'flags', 'l_seqs', 'mapqs',
-          'name_lens', 'n_cigars',
-      )
-  }
-  n = lib.dc_bam_scan(
-      _ro_u8p(buf),
-      len(buf),
-      start,
-      max_records,
-      offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-      *[
-          fields[k].ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-          for k in (
-              'sizes', 'ref_ids', 'positions', 'flags', 'l_seqs', 'mapqs',
-              'name_lens', 'n_cigars',
-          )
-      ],
+  field_names = (
+      'sizes', 'ref_ids', 'positions', 'flags', 'l_seqs', 'mapqs',
+      'name_lens', 'n_cigars',
   )
-  if n < 0:
-    return None
+  max_records = max(16, len(buf) // 40)
+  while True:
+    offsets = np.zeros(max_records, np.int64)
+    fields = {name: np.zeros(max_records, np.int32) for name in field_names}
+    n = lib.dc_bam_scan(
+        _ro_u8p(buf),
+        len(buf),
+        start,
+        max_records,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        *[
+            fields[k].ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            for k in field_names
+        ],
+    )
+    if n < 0:
+      return None
+    # The scan stops at max_records; verify it consumed the whole record
+    # region. Records can legally be far smaller than the 40-byte sizing
+    # heuristic (empty seq/cigar, short names) — rescan with more capacity
+    # rather than silently dropping the tail.
+    consumed = int(offsets[n - 1] + fields['sizes'][n - 1]) if n else start
+    if consumed == len(buf):
+      break
+    if n == max_records:
+      max_records *= 2
+      continue
+    return None  # partial/corrupt trailing record: use the Python parser
   out = {'offsets': offsets[:n]}
   out.update({k: v[:n] for k, v in fields.items()})
   return out

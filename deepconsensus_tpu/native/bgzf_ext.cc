@@ -14,6 +14,42 @@
 
 #include <zlib.h>
 
+// Parses and validates one BGZF member header at src[off..n). On success
+// writes xlen/bsize and returns true; bsize is guaranteed to satisfy
+// off + bsize <= n and off + 12 + xlen + 8 <= off + bsize, so the CDATA
+// length (bsize - 12 - xlen - 8) is non-negative and the ISIZE read at
+// off + bsize - 4 stays in bounds. XLEN/BSIZE come from the file and are
+// untrusted; every derived offset is checked against the buffer end.
+static bool scan_bgzf_member(const uint8_t* src, long long n, long long off,
+                             uint16_t* xlen_out, long long* bsize_out) {
+  if (off + 28 > n) return false;
+  if (src[off] != 0x1f || src[off + 1] != 0x8b) return false;
+  uint16_t xlen;
+  std::memcpy(&xlen, src + off + 10, 2);
+  long long extra = off + 12;
+  long long end = extra + xlen;
+  if (end > n) return false;
+  long long bsize = -1;
+  while (extra + 4 <= end) {
+    uint8_t si1 = src[extra], si2 = src[extra + 1];
+    uint16_t slen;
+    std::memcpy(&slen, src + extra + 2, 2);
+    if (extra + 4 + slen > end) return false;
+    if (si1 == 66 && si2 == 67 && slen == 2) {
+      uint16_t b;
+      std::memcpy(&b, src + extra + 4, 2);
+      bsize = (long long)b + 1;
+    }
+    extra += 4 + slen;
+  }
+  if (bsize < 0) return false;
+  if (off + bsize > n) return false;
+  if (12 + (long long)xlen + 8 > bsize) return false;  // clen would be < 0
+  *xlen_out = xlen;
+  *bsize_out = bsize;
+  return true;
+}
+
 extern "C" {
 
 // Sums the ISIZE fields of all BGZF members; returns -1 on malformed input.
@@ -21,24 +57,9 @@ long long dc_bgzf_decompressed_size(const uint8_t* src, long long n) {
   long long off = 0;
   long long total = 0;
   while (off + 28 <= n) {
-    if (src[off] != 0x1f || src[off + 1] != 0x8b) return -1;
     uint16_t xlen;
-    std::memcpy(&xlen, src + off + 10, 2);
-    long long extra = off + 12;
-    long long bsize = -1;
-    long long end = extra + xlen;
-    while (extra + 4 <= end) {
-      uint8_t si1 = src[extra], si2 = src[extra + 1];
-      uint16_t slen;
-      std::memcpy(&slen, src + extra + 2, 2);
-      if (si1 == 66 && si2 == 67 && slen == 2) {
-        uint16_t b;
-        std::memcpy(&b, src + extra + 4, 2);
-        bsize = (long long)b + 1;
-      }
-      extra += 4 + slen;
-    }
-    if (bsize < 0) return -1;
+    long long bsize;
+    if (!scan_bgzf_member(src, n, off, &xlen, &bsize)) return -1;
     uint32_t isize;
     std::memcpy(&isize, src + off + bsize - 4, 4);
     total += isize;
@@ -55,22 +76,8 @@ long long dc_bgzf_decompress(const uint8_t* src, long long n, uint8_t* dst,
   long long out = 0;
   while (off + 28 <= n) {
     uint16_t xlen;
-    std::memcpy(&xlen, src + off + 10, 2);
-    long long extra = off + 12;
-    long long bsize = -1;
-    long long end = extra + xlen;
-    while (extra + 4 <= end) {
-      uint8_t si1 = src[extra], si2 = src[extra + 1];
-      uint16_t slen;
-      std::memcpy(&slen, src + extra + 2, 2);
-      if (si1 == 66 && si2 == 67 && slen == 2) {
-        uint16_t b;
-        std::memcpy(&b, src + extra + 4, 2);
-        bsize = (long long)b + 1;
-      }
-      extra += 4 + slen;
-    }
-    if (bsize < 0) return -1;
+    long long bsize;
+    if (!scan_bgzf_member(src, n, off, &xlen, &bsize)) return -1;
     const uint8_t* cdata = src + off + 12 + xlen;
     long long clen = bsize - 12 - xlen - 8;
     uint32_t isize;
@@ -417,24 +424,9 @@ long long dc_bgzf_decompress_mt(const uint8_t* src, long long n, uint8_t* dst,
   std::vector<Member> members;
   long long off = 0, out = 0;
   while (off + 28 <= n) {
-    if (src[off] != 0x1f || src[off + 1] != 0x8b) return -1;
     uint16_t xlen;
-    std::memcpy(&xlen, src + off + 10, 2);
-    long long extra = off + 12;
-    long long bsize = -1;
-    long long end = extra + xlen;
-    while (extra + 4 <= end) {
-      uint8_t si1 = src[extra], si2 = src[extra + 1];
-      uint16_t slen;
-      std::memcpy(&slen, src + extra + 2, 2);
-      if (si1 == 66 && si2 == 67 && slen == 2) {
-        uint16_t b;
-        std::memcpy(&b, src + extra + 4, 2);
-        bsize = (long long)b + 1;
-      }
-      extra += 4 + slen;
-    }
-    if (bsize < 0 || off + bsize > n) return -1;
+    long long bsize;
+    if (!scan_bgzf_member(src, n, off, &xlen, &bsize)) return -1;
     uint32_t isize;
     std::memcpy(&isize, src + off + bsize - 4, 4);
     if (out + isize > cap) return -1;

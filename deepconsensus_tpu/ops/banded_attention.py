@@ -92,7 +92,9 @@ def banded_attention(
   spec = pl.BlockSpec(
       (block_b, 1, L, H),
       lambda i, n: (i, n, 0, 0),
-      memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+      memory_space=(getattr(pl, 'ANY', None) or pltpu.ANY)
+      if interpret
+      else pltpu.VMEM,
   )
   out = pl.pallas_call(
       kernel,

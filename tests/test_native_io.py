@@ -85,3 +85,44 @@ def test_native_bam_scan_offsets():
     assert scan['l_seqs'][i] == len(rec.seq)
     assert scan['flags'][i] == rec.flag
     assert scan['positions'][i] == rec.pos
+
+
+def test_corrupt_bgzf_returns_none_not_crash():
+  raw = bytearray(open(f'{HUMAN_1M}/ccs.bam', 'rb').read())
+  # Shrink the first member's BSIZE so clen = bsize-12-xlen-8 goes negative;
+  # the header scan must reject the member instead of wrapping the length.
+  xlen = struct.unpack('<H', bytes(raw[10:12]))[0]
+  struct.pack_into('<H', raw, 16, 12 + xlen + 8 - 2 - 1)
+  assert native.bgzf_decompress_all(bytes(raw)) is None
+  # Truncated file (member claims more bytes than the buffer holds).
+  raw2 = open(f'{HUMAN_1M}/ccs.bam', 'rb').read()[:100]
+  assert native.bgzf_decompress_all(raw2) is None
+
+
+def test_bam_scan_tiny_records_not_truncated():
+  # Records far below the 40-byte sizing heuristic (empty seq/cigar, 1-char
+  # names): the scan must grow its capacity, not silently drop the tail.
+  rec = struct.pack('<iiiBBHHHiiii', 32 + 2, -1, -1, 2, 0, 4680, 0, 0, 0, -1,
+                    -1, 0) + b'q\x00'
+  buf = rec * 500
+  scan = native.bam_scan(buf, 0)
+  assert scan is not None
+  assert len(scan['offsets']) == 500
+  batch = native.bam_parse_batch(buf, scan)
+  assert batch is not None
+  assert bytes(batch['name']) == b'q' * 500
+
+
+def test_parse_batch_rejects_corrupt_scan_fields():
+  import numpy as np
+
+  rec = struct.pack('<iiiBBHHHiiii', 32 + 2, -1, -1, 2, 0, 4680, 0, 0, 0, -1,
+                    -1, 0) + b'q\x00'
+  scan = native.bam_scan(rec, 0)
+  assert scan is not None
+  bad = dict(scan)
+  bad['name_lens'] = scan['name_lens'] - 2  # l_read_name < 1
+  assert native.bam_parse_batch(rec, bad) is None
+  bad = dict(scan)
+  bad['l_seqs'] = scan['l_seqs'] - 5  # negative sequence length
+  assert native.bam_parse_batch(rec, bad) is None
