@@ -134,6 +134,43 @@ def alignment_loss(
   return _alignment_forward(subs_costs, ins_costs, del_cost, seq_lens, loss_reg)
 
 
+def alignment_loss_with_matches(
+    y_true: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    del_cost: float = 10.0,
+    loss_reg: Optional[float] = 0.1,
+    width: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Soft alignment loss plus recovered match probabilities.
+
+  Equivalent of the reference's `AlignmentLoss.eval(return_matches=True)`
+  (losses_and_metrics.py:549-595): the gradient of the soft-min DP value
+  with respect to the substitution costs is, by Danskin/Gibbs duality, the
+  marginal probability that true position i aligns to predicted position j
+  under the Gibbs distribution the soft-min induces. With `loss_reg=None`
+  (hard min) the matches collapse to the 0/1 indicator of the optimal path's
+  substitution edges.
+
+  Returns:
+    (loss [b], matches [b, m, n]).
+  """
+  y_true_oh, seq_lens = preprocess_y_true(y_true)
+  y_pred = y_pred / jnp.sum(y_pred, axis=-1, keepdims=True)
+  subs_costs = xentropy_subs_cost_fn(y_true_oh, y_pred)
+  ins_costs = xentropy_ins_cost_fn(y_pred)
+
+  def forward(sc):
+    if width is not None:
+      return _banded_forward(sc, ins_costs, del_cost, seq_lens, loss_reg, width)
+    return _alignment_forward(sc, ins_costs, del_cost, seq_lens, loss_reg)
+
+  # Each example's loss depends only on its own cost slab, so the VJP with
+  # an all-ones cotangent yields every example's d loss / d subs_costs.
+  loss, vjp = jax.vjp(forward, subs_costs)
+  (matches,) = vjp(jnp.ones_like(loss))
+  return loss, matches
+
+
 def _alignment_forward(subs_costs, ins_costs, del_cost, seq_lens, loss_reg):
   """Wavefront DP over antidiagonals k = 2..m+n via lax.scan.
 

@@ -196,3 +196,69 @@ def test_accuracy_subs_cost_fn():
   out = np.asarray(alignment.accuracy_subs_cost_fn(oh, y_pred))
   # true A,T vs pred A,C: [[A==A, A==C], [T==A, T==C]]
   assert out[0].tolist() == [[1.0, 0.0], [0.0, 0.0]]
+
+
+def test_matches_loss_equals_plain_loss():
+  y_true, y_pred = convert_seqs((['TTAGGC', 'AGCTGG'], ['TAGGC ', 'AGCGG ']))
+  for width in (None, 4):
+    want = alignment.alignment_loss(y_true, y_pred, loss_reg=0.1, width=width)
+    got, matches = alignment.alignment_loss_with_matches(
+        y_true, y_pred, loss_reg=0.1, width=width
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert matches.shape == (2, 6, 6)
+
+
+def test_matches_equal_finite_difference_gradient():
+  # matches must be d loss / d subs_costs of the soft DP (the reference
+  # recovers them with a GradientTape, losses_and_metrics.py:588-594).
+  rng = np.random.default_rng(0)
+  b, m, n = 2, 5, 7
+  subs = rng.uniform(0.5, 4.0, (b, m, n)).astype(np.float64)
+  ins = rng.uniform(0.5, 4.0, (b, n)).astype(np.float64)
+  seq_lens = np.array([5, 4], np.int32)
+  args = (ins, 3.0, seq_lens, 0.1)
+  import jax
+
+  with jax.enable_x64(True):
+    base = np.asarray(alignment._alignment_forward(subs, *args))
+    grad = np.asarray(
+        jax.vjp(lambda sc: alignment._alignment_forward(sc, *args), subs)[1](
+            np.ones(b)
+        )[0]
+    )
+    eps = 1e-6
+    for _ in range(20):
+      bi, i, j = rng.integers(b), rng.integers(m), rng.integers(n)
+      pert = subs.copy()
+      pert[bi, i, j] += eps
+      fd = (
+          np.asarray(alignment._alignment_forward(pert, *args))[bi] - base[bi]
+      ) / eps
+      np.testing.assert_allclose(grad[bi, i, j], fd, rtol=1e-3, atol=1e-6)
+
+
+def test_matches_hard_min_recovers_indicator_path():
+  # Identical sequences, hard min: the only optimal path is the diagonal,
+  # so matches is exactly the identity indicator over real positions.
+  y_true, y_pred = convert_seqs((['TTAG  '], ['TTAG  ']))
+  _, matches = alignment.alignment_loss_with_matches(
+      y_true, y_pred, loss_reg=None
+  )
+  got = np.asarray(matches)[0]
+  np.testing.assert_allclose(got[:4, :4], np.eye(4), atol=1e-6)
+  assert np.all(got[4:] == 0)
+
+
+def test_matches_rows_are_subprobabilities():
+  # Under the Gibbs distribution each true position is substituted at most
+  # once, so each row's marginals sum to <= 1 (= 1 when deletion is
+  # prohibitively expensive).
+  y_true, y_pred = convert_seqs(
+      (['TTAGGC', 'AGCTGG'], ['TAGGCA', 'AGCGGT'])
+  )
+  _, matches = alignment.alignment_loss_with_matches(
+      y_true, y_pred, del_cost=1e6, loss_reg=1.0
+  )
+  row_sums = np.asarray(matches).sum(-1)
+  np.testing.assert_allclose(row_sums, np.ones_like(row_sums), atol=1e-4)
