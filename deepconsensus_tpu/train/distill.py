@@ -19,6 +19,7 @@ import ml_collections
 import optax
 
 from deepconsensus_tpu import constants
+from deepconsensus_tpu.io import tb_events
 from deepconsensus_tpu.models import checkpoint as ckpt_lib
 from deepconsensus_tpu.models import configs, model as model_lib
 from deepconsensus_tpu.ops import alignment
@@ -218,6 +219,19 @@ def train_distillation(
   train_acc = loop_lib.MetricAccumulator()
   eval_acc = loop_lib.MetricAccumulator()
   scalars_f = open(os.path.join(out_dir, 'scalars.jsonl'), 'a')
+  tb_train = tb_events.SummaryWriter(os.path.join(out_dir, 'train'))
+  tb_eval = tb_events.SummaryWriter(os.path.join(out_dir, 'eval'))
+
+  def tb_write(writer, prefix, metrics, step_num):
+    writer.scalars(
+        {
+            (k[len(prefix) :] if k.startswith(prefix) else k): v
+            for k, v in metrics.items()
+            if k not in ('step', 'epoch')
+        },
+        step_num,
+    )
+    writer.flush()
   metrics_tsv = os.path.join(out_dir, 'checkpoint_metrics.tsv')
   max_main = 0.0
   step = 0
@@ -257,10 +271,12 @@ def train_distillation(
         logger.info('distill step %d: %s', step, result)
         scalars_f.write(json.dumps(result) + '\n')
         scalars_f.flush()
+        tb_write(tb_train, 'train/', result, step)
         train_acc.reset()
       if step % log_eval_steps == 0 or step == total_steps:
         last_eval = run_eval()
         logger.info('distill eval @%d: %s', step, last_eval)
+        tb_write(tb_eval, 'eval/', last_eval, step)
         ckpt_name = ckpt_lib.save_checkpoint(
             out_dir,
             jax.device_get(student_vars),
@@ -281,6 +297,7 @@ def train_distillation(
 
   if not last_eval:
     last_eval = run_eval()
+    tb_write(tb_eval, 'eval/', last_eval, step)
     ckpt_name = ckpt_lib.save_checkpoint(
         out_dir,
         jax.device_get(student_vars),
@@ -296,4 +313,6 @@ def train_distillation(
     with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
       f.write(os.path.basename(ckpt_name))
   scalars_f.close()
+  tb_train.close()
+  tb_eval.close()
   return last_eval

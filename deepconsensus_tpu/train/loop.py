@@ -24,6 +24,7 @@ import numpy as np
 import optax
 
 from deepconsensus_tpu import constants
+from deepconsensus_tpu.io import tb_events
 from deepconsensus_tpu.models import checkpoint as ckpt_lib
 from deepconsensus_tpu.models import configs, model as model_lib
 from deepconsensus_tpu.ops import alignment
@@ -344,6 +345,22 @@ def train(
   metrics_tsv = os.path.join(out_dir, 'checkpoint_metrics.tsv')
   scalars_path = os.path.join(out_dir, 'scalars.jsonl')
   scalars_f = open(scalars_path, 'a')
+  # TensorBoard-compatible event streams, mirroring the reference's
+  # train/ and eval/ writer layout (model_train_custom_loop.py:165-166,
+  # model_utils.py:549-583). Tags keep the reference names (no prefix).
+  tb_train = tb_events.SummaryWriter(os.path.join(out_dir, 'train'))
+  tb_eval = tb_events.SummaryWriter(os.path.join(out_dir, 'eval'))
+
+  def tb_write(writer, prefix, metrics, step_num):
+    writer.scalars(
+        {
+            (k[len(prefix) :] if k.startswith(prefix) else k): v
+            for k, v in metrics.items()
+            if k not in ('step', 'epoch')
+        },
+        step_num,
+    )
+    writer.flush()
 
   max_main_metric = 0.0
   step = initial_epoch * steps_per_epoch + initial_step
@@ -374,6 +391,9 @@ def train(
         logger.info('step %d: %s', step, result)
         scalars_f.write(json.dumps(result) + '\n')
         scalars_f.flush()
+        result['progress/epoch'] = epoch
+        result['progress/overall_progress'] = step / max(total_train_steps, 1)
+        tb_write(tb_train, 'train/', result, step)
         train_acc.reset()
         t_start = time.time()
 
@@ -391,6 +411,7 @@ def train(
             json.dumps(dict(eval_metrics, step=step, epoch=epoch)) + '\n'
         )
         scalars_f.flush()
+        tb_write(tb_eval, 'eval/', eval_metrics, step)
 
         ckpt_name = ckpt_lib.save_checkpoint(
             out_dir,
@@ -422,6 +443,7 @@ def train(
       elabels = mesh_lib.shard_batch(elabels, mesh)
       eval_acc.update(jax.device_get(jit_eval(variables, erows, elabels)))
     last_eval_metrics = eval_acc.result('eval')
+    tb_write(tb_eval, 'eval/', last_eval_metrics, step)
     ckpt_name = ckpt_lib.save_checkpoint(
         out_dir,
         jax.device_get(variables),
@@ -439,6 +461,8 @@ def train(
       f.write(os.path.basename(ckpt_name))
 
   scalars_f.close()
+  tb_train.close()
+  tb_eval.close()
   return last_eval_metrics
 
 
