@@ -1,4 +1,4 @@
-"""Command-line dispatcher: preprocess | run | calibrate | filter_reads.
+"""Command-line dispatcher: preprocess | run | calibrate | filter_reads | merge.
 
 Equivalent of the reference CLI (`reference: cli.py:50-122`), argparse-based.
 """
@@ -111,6 +111,15 @@ def _add_train_parser(sub):
   p.add_argument('--checkpoint', default=None, help='Warm-start checkpoint.')
   p.add_argument('--train_path', default=None)
   p.add_argument('--eval_path', default=None)
+  p.add_argument(
+      '--tf_dataset', action='append', default=None,
+      help='Preprocess output root(s) (<dir>/{train,eval,test}/* + summary); '
+           'repeatable. Paths and example counts derive from the dataset '
+           'summary. Use with --config ...+custom.',
+  )
+  p.add_argument('--n_examples_train', type=int, default=None)
+  p.add_argument('--n_examples_eval', type=int, default=None)
+  p.add_argument('--max_passes', type=int, default=None)
   p.add_argument('--num_devices', type=int, default=None)
   p.add_argument('--eval_and_log_every_step', action='store_true')
   p.add_argument('--limit', type=int, default=None)
@@ -149,6 +158,19 @@ def _add_export_parser(sub):
   return p
 
 
+def _add_merge_parser(sub):
+  p = sub.add_parser(
+      'merge',
+      help='Merge per-host partial FASTQs (from run --num_hosts) into one.',
+  )
+  p.add_argument(
+      'partials', nargs='+',
+      help='Partial FASTQ paths in host-id order (host 0 first).',
+  )
+  p.add_argument('--output', '-o', required=True)
+  return p
+
+
 def _add_filter_parser(sub):
   p = sub.add_parser('filter_reads', help='Filter FASTQ/BAM by read quality.')
   p.add_argument('--input_seq', '-i', required=True)
@@ -184,6 +206,7 @@ def main(argv=None) -> int:
   _add_export_parser(sub)
   _add_calibrate_parser(sub)
   _add_filter_parser(sub)
+  _add_merge_parser(sub)
   args = parser.parse_args(argv)
 
   if args.command == 'run':
@@ -256,6 +279,14 @@ def main(argv=None) -> int:
         params.train_path = [args.train_path]
       if args.eval_path:
         params.eval_path = [args.eval_path]
+      if args.tf_dataset:
+        params.tf_dataset = list(args.tf_dataset)
+      if args.n_examples_train is not None:
+        params.n_examples_train = args.n_examples_train
+      if args.n_examples_eval is not None:
+        params.n_examples_eval = args.n_examples_eval
+      if args.max_passes is not None:
+        params.max_passes = args.max_passes
       if args.limit is not None:
         params.limit = args.limit
     loop.train_with_retry(
@@ -324,6 +355,16 @@ def main(argv=None) -> int:
 
     filter_reads.filter_bam_or_fastq_by_quality(
         args.input_seq, args.output_fastq, args.quality_threshold
+    )
+    return 0
+
+  if args.command == 'merge':
+    from deepconsensus_tpu.parallel import dp_inference
+
+    n_reads = dp_inference.merge_fastq_partials(args.partials, args.output)
+    logging.getLogger(__name__).info(
+        'Merged %d partials -> %s (%d reads)',
+        len(args.partials), args.output, n_reads,
     )
     return 0
 

@@ -748,7 +748,10 @@ def run_inference(
     in_flight = state
 
   for reads, zmw, cfg, split, window_widths in proc_feeder():
-    if limit and zmw_counter >= limit:
+    # --limit counts GLOBAL ZMW index (reference quick_inference.py:905-911)
+    # so the union of per-host partials is exactly `limit` ZMWs regardless
+    # of --num_hosts.
+    if limit and zmw_index >= limit:
       break
     my_zmw = zmw_index % num_hosts == host_id
     zmw_index += 1

@@ -17,7 +17,11 @@ import ml_collections
 
 from deepconsensus_tpu import constants
 
-_HUMAN_1M = '/root/reference/deepconsensus/testdata/human_1m'
+# Bundled test dataset location; override with DC_TPU_TESTDATA so the
+# package is not coupled to this checkout layout.
+_HUMAN_1M = os.environ.get(
+    'DC_TPU_TESTDATA', '/root/reference/deepconsensus/testdata/human_1m'
+)
 
 
 def _set_base_transformer_hparams(params):
@@ -229,7 +233,12 @@ def get_config(config_name: Optional[str] = None) -> ml_collections.ConfigDict:
   elif dataset_name == 'test_bq':
     _set_test_dataset(params, use_ccs_bq=True)
   elif dataset_name == 'custom':
+    # Real-data training: point tf_dataset at one or more preprocess output
+    # dirs (layout <dir>/{train,eval,test}/* + <dir>/summary/
+    # summary.training.json); set_dataset fills paths and example counts
+    # (reference model_configs.py:142-148 + model_utils.py:155-229).
     params.max_passes = 20
+    params.tf_dataset = []
   else:
     raise ValueError(f'unknown dataset config {dataset_name!r}')
 
@@ -266,6 +275,75 @@ def get_indices(max_passes: int, use_ccs_bq: bool):
   )
 
 
+def load_dataset_summary(dataset_path: str):
+  """Loads summary.training.json for a preprocess output dir.
+
+  Accepts both the preprocess driver's `<dir>/summary/summary.training.json`
+  layout (from --output '<dir>/@split/@split.tfrecord.gz') and a flat
+  `<dir>/summary.training.json` (reference model_utils.py:606-628).
+  """
+  for cand in (
+      os.path.join(dataset_path, 'summary', 'summary.training.json'),
+      os.path.join(dataset_path, 'summary.training.json'),
+  ):
+    if os.path.exists(cand):
+      with open(cand) as f:
+        return cand, json.load(f)
+  raise FileNotFoundError(
+      f'no summary.training.json under {dataset_path!r} '
+      '(expected <dir>/summary/summary.training.json from preprocess)'
+  )
+
+
+def set_dataset(params) -> None:
+  """Expands params.tf_dataset into paths + example counts.
+
+  Reference semantics (model_utils.py:155-229): each tf_dataset entry is a
+  preprocess output root; train/eval/test globs are derived, example counts
+  come from the dataset summary unless both n_examples_{train,eval} are
+  already set, and the dataset's max_passes must match the model config.
+  """
+  if 'tf_dataset' not in params or not params.tf_dataset:
+    return
+  if 'train_path' in params and params.train_path:
+    raise ValueError(
+        'Cannot specify both tf_dataset and individual paths (train_path)'
+    )
+  with params.unlocked():
+    params.train_path = []
+    params.eval_path = []
+    params.test_path = []
+    have_train = 'n_examples_train' in params and params.n_examples_train > 0
+    have_eval = 'n_examples_eval' in params and params.n_examples_eval > 0
+    if have_train != have_eval:
+      raise ValueError(
+          'Set both n_examples_train and n_examples_eval, or neither '
+          '(counts then load from summary.training.json).'
+      )
+    load_counts = not have_train
+    if load_counts:
+      params.n_examples_train = 0
+      params.n_examples_eval = 0
+    for dataset_path in params.tf_dataset:
+      params.train_path.append(os.path.join(dataset_path, 'train', '*'))
+      params.eval_path.append(os.path.join(dataset_path, 'eval', '*'))
+      params.test_path.append(os.path.join(dataset_path, 'test', '*'))
+      summary_path, summary = load_dataset_summary(dataset_path)
+      n_train = int(summary.get('n_examples_train', 0))
+      n_eval = int(summary.get('n_examples_eval', 0))
+      if not n_train or not n_eval:
+        raise ValueError(f'No example counts in {summary_path}')
+      if load_counts:
+        params.n_examples_train += n_train
+        params.n_examples_eval += n_eval
+      dataset_max_passes = int(summary['max_passes'])
+      if int(params.max_passes) != dataset_max_passes:
+        raise ValueError(
+            f'dataset max_passes {dataset_max_passes} != model '
+            f'max_passes {params.max_passes} ({summary_path})'
+        )
+
+
 def finalize_params(
     params: ml_collections.ConfigDict,
     max_length: Optional[int] = None,
@@ -278,6 +356,7 @@ def finalize_params(
   num_replicas (mesh data-axis size) and batch_scale=True to multiply the
   per-replica batch to the global batch, instead of sniffing GPUs/TPUs.
   """
+  set_dataset(params)
   with params.unlocked():
     if batch_scale and num_replicas > 1:
       params.batch_size = (

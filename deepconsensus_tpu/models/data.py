@@ -187,25 +187,34 @@ def compact_from_rows(
   return out
 
 
-def padded_size(n: int, batch_size: int, min_tier: int = 256) -> int:
+def padded_size(
+    n: int, batch_size: int, min_tier: int = 256, multiple: int = 1
+) -> int:
   """Smallest power-of-two tier >= n (capped at batch_size).
 
   Bounds both the zero-padding waste of partial batches (important with
   pass-bucketed batching, where each bucket ends with a partial batch)
-  and the number of compiled executables (log2 tiers).
+  and the number of compiled executables (log2 tiers). `multiple` rounds
+  each tier up so sharded runners keep every batch divisible by the
+  device count (e.g. tier 256 with 6 devices -> 258); batch_size itself
+  must already satisfy the divisibility (ShardedModelRunner rounds it up).
   """
   if n >= batch_size:
     return batch_size
   tier = min(min_tier, batch_size)
   while tier < n:
     tier *= 2
+  if multiple > 1:
+    tier = -(-tier // multiple) * multiple
   return min(tier, batch_size)
 
 
-def pad_batch(rows: np.ndarray, batch_size: int) -> np.ndarray:
+def pad_batch(
+    rows: np.ndarray, batch_size: int, multiple: int = 1
+) -> np.ndarray:
   """Pads a partial batch to the next size tier with zeros."""
   n = rows.shape[0]
-  target = padded_size(n, batch_size)
+  target = padded_size(n, batch_size, multiple=multiple)
   if n == target:
     return rows
   padded = np.zeros((target,) + rows.shape[1:], dtype=rows.dtype)

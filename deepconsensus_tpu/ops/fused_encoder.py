@@ -15,7 +15,11 @@ weights stream from HBM once per layer per batch block, which at the
 production batch sizes is already amortized to noise.
 
 Memory strategy per grid step (one batch block):
-* activations block (BLOCK_B, L, E) resident in VMEM;
+* activations block (BLOCK_B, L, E) resident in VMEM; BLOCK_B=4 keeps
+  the whole working set (double-buffered activation blocks + one layer's
+  weights + FFN chunk intermediates) under the ~16 MB scoped-VMEM limit
+  with headroom — BLOCK_B=8 was observed to exceed it by ~155 KB at some
+  batch tiers;
 * attention computed per head with MXU dot_generals;
 * the FFN contracts in filter-dimension chunks
   (relu(x@W1[:,c]+b1[c]) @ W2[c,:] summed over chunks), so the big
@@ -125,7 +129,7 @@ def fused_encoder_layer(
     wf2, bf2,  # (F, E), (E,)
     alpha_ffn,  # scalar
     win: Optional[int] = 12,
-    block_b: int = 8,
+    block_b: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
   """One fused ReZero encoder layer; falls back to XLA off-TPU/ragged."""
@@ -203,7 +207,7 @@ def _xla_layer(x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn,
   return y + alpha_ffn * ffn
 
 
-def fused_encoder_stack(x, layer_params, win=12, block_b=8, interpret=False):
+def fused_encoder_stack(x, layer_params, win=12, block_b=4, interpret=False):
   """Applies N fused layers sequentially.
 
   layer_params: list of dicts with keys wq, wk, wv, wo, alpha_attn,

@@ -78,7 +78,7 @@ class ShardedModelRunner:
 
   def predict_async(self, rows: np.ndarray, pass_limit=None):
     n = rows.shape[0]
-    padded = data.pad_batch(rows, self.batch_size)
+    padded = data.pad_batch(rows, self.batch_size, multiple=self.mesh.devices.size)
     compact = data.compact_from_rows(padded, self.params, pass_limit)
     return self._forward(self.variables, compact), n
 

@@ -1,5 +1,7 @@
 """Config-system tests: reference params.json compatibility, derivations."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -53,3 +55,56 @@ def test_invalid_config_names():
     configs.get_config('transformer_learn_values+nope')
   with pytest.raises(ValueError):
     configs.get_config('noseparator')
+
+
+def test_custom_dataset_via_tf_dataset():
+  golden_root = '/root/reference/deepconsensus/testdata/human_1m/tf_examples'
+  params = configs.get_config('transformer_learn_values+custom')
+  with params.unlocked():
+    params.tf_dataset = [golden_root]
+  configs.finalize_params(params)
+  assert params.train_path == [f'{golden_root}/train/*']
+  assert params.eval_path == [f'{golden_root}/eval/*']
+  assert params.n_examples_train == 1239
+  assert params.n_examples_eval == 65
+
+
+def test_custom_dataset_manual_counts_override():
+  golden_root = '/root/reference/deepconsensus/testdata/human_1m/tf_examples'
+  params = configs.get_config('transformer_learn_values+custom')
+  with params.unlocked():
+    params.tf_dataset = [golden_root]
+    params.n_examples_train = 100
+    params.n_examples_eval = 10
+  configs.finalize_params(params)
+  assert params.n_examples_train == 100
+  assert params.n_examples_eval == 10
+
+
+def test_custom_dataset_max_passes_mismatch_raises():
+  golden_root = '/root/reference/deepconsensus/testdata/human_1m/tf_examples'
+  params = configs.get_config('transformer_learn_values+custom')
+  with params.unlocked():
+    params.tf_dataset = [golden_root]
+    params.max_passes = 15
+  import pytest as _pytest
+
+  with _pytest.raises(ValueError, match='max_passes'):
+    configs.finalize_params(params)
+
+
+def test_custom_dataset_trains_via_cli(tmp_path):
+  import jax
+
+  from deepconsensus_tpu import cli
+
+  golden_root = '/root/reference/deepconsensus/testdata/human_1m/tf_examples'
+  out_dir = str(tmp_path / 'custom_run')
+  rc = cli.main([
+      'train', '--config', 'transformer_learn_values+custom',
+      '--tf_dataset', golden_root, '--out_dir', out_dir,
+      '--batch_size', '8', '--num_epochs', '1', '--limit', '8',
+      '--num_devices', '1',
+  ])
+  assert rc == 0
+  assert os.path.exists(os.path.join(out_dir, 'best_checkpoint.txt'))

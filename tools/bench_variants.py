@@ -22,7 +22,9 @@ from deepconsensus_tpu.inference import engine
 from deepconsensus_tpu.postprocess import stitch
 from deepconsensus_tpu.preprocess import feeder, windows
 
-TESTDATA = '/root/reference/deepconsensus/testdata/human_1m'
+TESTDATA = os.environ.get(
+    'DC_TPU_TESTDATA', '/root/reference/deepconsensus/testdata/human_1m'
+)
 TOY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    'models_out/toy_model')
 BATCH = 1024

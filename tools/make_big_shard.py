@@ -16,7 +16,9 @@ import numpy as np
 
 from deepconsensus_tpu.io import bam
 
-TESTDATA = '/root/reference/deepconsensus/testdata/human_1m'
+TESTDATA = os.environ.get(
+    'DC_TPU_TESTDATA', '/root/reference/deepconsensus/testdata/human_1m'
+)
 ZMW_STRIDE = 10_000_000
 
 
