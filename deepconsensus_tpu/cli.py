@@ -123,6 +123,11 @@ def _add_train_parser(sub):
   p.add_argument('--num_devices', type=int, default=None)
   p.add_argument('--eval_and_log_every_step', action='store_true')
   p.add_argument('--limit', type=int, default=None)
+  p.add_argument(
+      '--use_fused_encoder', action='store_true',
+      help='Train through the fused Pallas encoder (Pallas fwd+bwd '
+           'kernels; transformer_learn_values only).',
+  )
   return p
 
 
@@ -289,6 +294,8 @@ def main(argv=None) -> int:
         params.max_passes = args.max_passes
       if args.limit is not None:
         params.limit = args.limit
+      if args.use_fused_encoder:
+        params.use_pallas_fused_encoder = True
     loop.train_with_retry(
         args.out_dir,
         params,

@@ -153,16 +153,10 @@ class ModelRunner:
             compact.get('ccs_bq'),
             method='compact_embed',
         )
-        p = variables['params']
-        lps = fe.extract_layer_params(
-            p['encoder_stack'], params.num_hidden_layers
+        logits = fe.fused_logits(
+            variables['params'], h, params.num_hidden_layers,
+            params.attn_win_size,
         )
-        h = fe.fused_encoder_stack(h, lps, win=params.attn_win_size)
-        norm = p['encoder_stack']['output_norm']
-        mu = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
-        h = (h - mu) * jax.lax.rsqrt(var + 1e-6) * norm['scale'] + norm['bias']
-        logits = h @ p['logits']['kernel'] + p['logits']['bias']
       else:
         outputs = self.model.apply(
             variables,

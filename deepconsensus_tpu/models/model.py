@@ -371,8 +371,19 @@ class LearnedValuesTransformer(nn.Module):
     outputs['logits'] = self.logits_layer(outputs['final_output'])
     return outputs
 
+  def rows_embed(self, rows: jnp.ndarray) -> jnp.ndarray:
+    """Dense rows -> encoder input h (condensed + pos-encoded).
+
+    The pre-encoder half of the dense-rows path, exposed so external
+    encoder implementations (the trainable fused Pallas stack in
+    ops/fused_encoder.py) can consume the same embeddings in training.
+    """
+    return self.intermediate_outputs(rows, deterministic=True,
+                                     embed_only=True)['encoder_input']
+
   def intermediate_outputs(
-      self, rows: jnp.ndarray, deterministic: bool = True
+      self, rows: jnp.ndarray, deterministic: bool = True,
+      embed_only: bool = False,
   ) -> Dict[str, jnp.ndarray]:
     p = self.params
     # (B, R, L, 1) -> (B, L, R)
@@ -415,7 +426,7 @@ class LearnedValuesTransformer(nn.Module):
       embedded.append(gather(self.sn_embedding, sn_idx))
 
     h = jnp.concatenate(embedded, axis=-1)
-    return self._encode(h, deterministic)
+    return self._encode(h, deterministic, embed_only=embed_only)
 
   def compact_embed(
       self,

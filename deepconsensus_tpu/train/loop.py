@@ -109,9 +109,31 @@ def build_train_step(model, tx, params, global_batch_size: int):
   """Returns a jitted (state, rows, labels) -> (state, metrics) step."""
   loss_fn = make_loss_fn(params)
   ccs_slice = configs.get_indices(params.max_passes, params.use_ccs_bq)[4]
+  use_fused = bool(params.get('use_pallas_fused_encoder', False))
+  if use_fused and params.model_name != 'transformer_learn_values':
+    raise ValueError(
+        'use_pallas_fused_encoder requires the transformer_learn_values '
+        f'model, got {params.model_name!r}'
+    )
+  fused_interpret = bool(params.get('fused_encoder_interpret', False))
+
+  def forward(variables, rows):
+    if use_fused:
+      # Embeddings via the flax module, then the trainable fused Pallas
+      # encoder stack (Pallas forward AND backward; ops/fused_encoder.py)
+      # + functional LayerNorm/logits tail — differentiable end to end.
+      from deepconsensus_tpu.ops import fused_encoder as fe
+
+      h = model.apply(variables, rows, method='rows_embed')
+      logits = fe.fused_logits(
+          variables['params'], h, params.num_hidden_layers,
+          params.attn_win_size, trainable=True, interpret=fused_interpret,
+      )
+      return jax.nn.softmax(logits, axis=-1)
+    return model.apply(variables, rows, deterministic=True)
 
   def compute_loss(variables, rows, labels):
-    preds = model.apply(variables, rows, deterministic=True)
+    preds = forward(variables, rows)
     per_example = loss_fn(labels, preds)
     # compute_average_loss semantics: sum/global_batch
     # (model_train_custom_loop.py:148-155).
