@@ -128,6 +128,10 @@ def _add_train_parser(sub):
       help='Train through the fused Pallas encoder (Pallas fwd+bwd '
            'kernels; transformer_learn_values only).',
   )
+  p.add_argument(
+      '--input_workers', type=int, default=None,
+      help='Input-pipeline worker processes (0 = in-process serial).',
+  )
   return p
 
 
@@ -296,6 +300,8 @@ def main(argv=None) -> int:
         params.limit = args.limit
       if args.use_fused_encoder:
         params.use_pallas_fused_encoder = True
+      if args.input_workers is not None:
+        params.input_workers = args.input_workers
     loop.train_with_retry(
         args.out_dir,
         params,

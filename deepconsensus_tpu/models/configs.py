@@ -200,6 +200,10 @@ def get_config(config_name: Optional[str] = None) -> ml_collections.ConfigDict:
   params.loss_reg = 0.1
   params.band_width = None
   params.remove_label_gaps = False
+  # Input-pipeline parallelism: worker processes parsing/formatting record
+  # chunks (0 = in-process serial). The reference gets this from tf.data
+  # num_parallel_calls (data_providers.py:377-425).
+  params.input_workers = 0
   params.tpu_scale_factor = 1
   params.num_epochs_for_decay = 9
 

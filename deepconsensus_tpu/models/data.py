@@ -56,6 +56,95 @@ def remove_internal_gaps_and_shift(label: np.ndarray) -> np.ndarray:
   return out
 
 
+def format_rows_batch(subreads: np.ndarray, params) -> np.ndarray:
+  """format_rows over a stacked (n, R, L[, 1]) block in one numpy pass.
+
+  One clip+concat for the whole block instead of per-example calls — the
+  vectorization that lets input-pipeline workers format a records chunk
+  at memory bandwidth (equivalence-tested vs format_rows).
+  """
+  (
+      base_idx,
+      pw_idx,
+      ip_idx,
+      strand_idx,
+      ccs_idx,
+      ccs_bq_idx,
+      sn_idx,
+  ) = configs.get_indices(params.max_passes, params.use_ccs_bq)
+
+  def rows(idx):
+    return subreads[:, idx[0] : idx[1]]
+
+  pw_rows = rows(pw_idx)
+  ip_rows = rows(ip_idx)
+  sn_rows = rows(sn_idx)
+  if params.PW_MAX:
+    pw_rows = np.clip(pw_rows, 0, params.PW_MAX)
+  if params.IP_MAX:
+    ip_rows = np.clip(ip_rows, 0, params.IP_MAX)
+  if params.SN_MAX:
+    sn_rows = np.clip(sn_rows, 0, params.SN_MAX)
+  feats = [rows(base_idx), pw_rows, ip_rows, rows(strand_idx), rows(ccs_idx)]
+  if params.use_ccs_bq:
+    feats.append(rows(ccs_bq_idx))
+  feats.append(sn_rows)
+  out = np.concatenate(feats, axis=1)
+  assert out.shape[1] == params.total_rows
+  return out
+
+
+def format_rows_is_identity(n_raw_rows: int, params) -> bool:
+  """True when format_rows' slice+concat reproduces the input layout.
+
+  Holds for on-disk examples written with the same DcConfig (the feature
+  slices are consecutive and cover all rows in order) — then formatting
+  reduces to clipping PW/IP/SN in place, no 4-byte-per-cell copy.
+  """
+  idx = configs.get_indices(params.max_passes, params.use_ccs_bq)
+  order = [idx[0], idx[1], idx[2], idx[3], idx[4]]
+  if params.use_ccs_bq:
+    order.append(idx[5])
+  order.append(idx[6])
+  pos = 0
+  for lo, hi in order:
+    if lo != pos:
+      return False
+    pos = hi
+  return pos == n_raw_rows == params.total_rows
+
+
+def format_rows_batch_inplace(subreads: np.ndarray, params) -> np.ndarray:
+  """Clips PW/IP/SN rows of an identity-layout block in place.
+
+  Only valid when format_rows_is_identity(...) — asserted. Returns the
+  same array (now formatted), saving the full-block copy of
+  format_rows_batch.
+  """
+  assert format_rows_is_identity(subreads.shape[1], params)
+  idx = configs.get_indices(params.max_passes, params.use_ccs_bq)
+  for (lo, hi), cap in (
+      (idx[1], params.PW_MAX),
+      (idx[2], params.IP_MAX),
+      (idx[6], params.SN_MAX),
+  ):
+    if cap:
+      np.clip(subreads[:, lo:hi], 0, cap, out=subreads[:, lo:hi])
+  return subreads
+
+
+def remove_internal_gaps_and_shift_batch(labels: np.ndarray) -> np.ndarray:
+  """Vectorized left-shift of non-gap tokens over a (n, L) label block."""
+  labels = labels.reshape(labels.shape[0], -1)
+  mask = labels != constants.GAP_INT
+  # Stable argsort of the gap mask moves non-gaps left, preserving order.
+  order = np.argsort(~mask, axis=1, kind='stable')
+  shifted = np.take_along_axis(labels, order, axis=1)
+  counts = mask.sum(axis=1, keepdims=True)
+  cols = np.arange(labels.shape[1])[None, :]
+  return np.where(cols < counts, shifted, 0).astype(labels.dtype)
+
+
 def parse_example_bytes(
     buf: bytes, inference: bool = False, max_length: int = 100
 ) -> Dict[str, Any]:

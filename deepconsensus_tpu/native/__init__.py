@@ -91,6 +91,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.dc_bam_parse_batch_mt.argtypes = parse_sig + [ctypes.c_int]
     lib.dc_bgzf_decompress_mt.restype = c
     lib.dc_bgzf_decompress_mt.argtypes = [u8p, c, u8p, c, ctypes.c_int]
+    lib.dc_tfrecord_count.restype = c
+    lib.dc_tfrecord_count.argtypes = [u8p, c]
+    lib.dc_tfexample_parse_batch.restype = c
+    lib.dc_tfexample_parse_batch.argtypes = [
+        u8p, c, c, c, u8p, u8p, i32p, c, ctypes.c_int,
+    ]
   except AttributeError:
     # Library built from an older source revision: rebuild once.
     del lib
@@ -259,6 +265,53 @@ def bam_parse_batch(buf: bytes, scan: dict):
   out['cigar_starts'] = cigar_starts
   out['name_starts'] = name_starts
   return out
+
+
+def tfexample_parse_batch(
+    payload,
+    sub_shape,
+    lab_len: int,
+    want_labels: bool,
+    threads: Optional[int] = None,
+):
+  """Parses ALL examples of an inflated TFRecord stream in one native call.
+
+  `payload` is the whole (decompressed) file contents; sub_shape the
+  per-example subreads tensor shape (from the first example's
+  subreads/shape); lab_len the label length (ignored when want_labels is
+  False). Returns (subreads (n, *sub_shape) f32, labels (n, lab_len) f32
+  or None, num_passes (n,) i32), or None when the native path is
+  unavailable or any record deviates from the schema (caller falls back
+  to the per-example Python parser).
+  """
+  lib = get_lib()
+  if lib is None or not hasattr(lib, 'dc_tfexample_parse_batch'):
+    return None
+  import numpy as np
+
+  src = _ro_u8p(payload)
+  cnt = lib.dc_tfrecord_count(src, len(payload))
+  if cnt <= 0:
+    return None
+  sub_bytes = int(np.prod(sub_shape)) * 4
+  lab_bytes = lab_len * 4 if want_labels else 0
+  sub = np.empty((cnt,) + tuple(sub_shape), np.float32)
+  lab = np.empty((cnt, lab_len), np.float32) if want_labels else None
+  npass = np.zeros(cnt, np.int32)
+  if threads is None:
+    threads = min(8, os.cpu_count() or 1)
+  rc = lib.dc_tfexample_parse_batch(
+      src, len(payload), sub_bytes, lab_bytes,
+      sub.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      lab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+      if lab is not None
+      else None,
+      npass.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+      cnt, threads,
+  )
+  if rc != cnt:
+    return None
+  return sub, lab, npass
 
 
 def bam_scan(buf: bytes, start: int):

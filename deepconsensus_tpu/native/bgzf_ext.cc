@@ -570,3 +570,282 @@ long long dc_bgzf_compress(const uint8_t* data, long long n, uint8_t* dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TFRecord tf.train.Example batch parser (the input-pipeline fast path).
+//
+// Parses an inflated TFRecord stream (u64 len + crc + payload + crc framing,
+// see io/tfrecord.py) of tf.train.Example protos with the deepconsensus
+// schema and copies 'subreads/encoded' / 'label/encoded' float32 blobs
+// straight into caller-preallocated batch arrays — no per-example Python,
+// no intermediate copies. Proto wire-format is walked by hand; unknown
+// fields/keys are skipped, so schema additions stay compatible. Any
+// malformed record aborts with -1 and the caller falls back to the checked
+// Python parser.
+// ---------------------------------------------------------------------------
+
+static inline bool tfx_varint(const uint8_t*& p, const uint8_t* end,
+                              uint64_t& v) {
+  v = 0;
+  int shift = 0;
+  while (p < end && shift < 64) {
+    uint8_t b = *p++;
+    v |= (uint64_t)(b & 0x7f) << shift;
+    if (!(b & 0x80)) return true;
+    shift += 7;
+  }
+  return false;
+}
+
+static inline bool tfx_skip(const uint8_t*& p, const uint8_t* end,
+                            uint64_t wiretype) {
+  uint64_t v;
+  switch (wiretype) {
+    case 0:
+      return tfx_varint(p, end, v);
+    case 1:
+      if (end - p < 8) return false;
+      p += 8;
+      return true;
+    case 2:
+      if (!tfx_varint(p, end, v) || (uint64_t)(end - p) < v) return false;
+      p += v;
+      return true;
+    case 5:
+      if (end - p < 4) return false;
+      p += 4;
+      return true;
+    default:
+      return false;
+  }
+}
+
+// Extracts the first bytes value of a Feature{bytes_list} message.
+static bool tfx_feature_bytes(const uint8_t* p, const uint8_t* end,
+                              const uint8_t** out, uint64_t* out_len) {
+  while (p < end) {
+    uint64_t tag;
+    if (!tfx_varint(p, end, tag)) return false;
+    if ((tag >> 3) == 1 && (tag & 7) == 2) {  // bytes_list
+      uint64_t blen;
+      if (!tfx_varint(p, end, blen) || (uint64_t)(end - p) < blen)
+        return false;
+      const uint8_t* bend = p + blen;
+      while (p < bend) {
+        uint64_t t2;
+        if (!tfx_varint(p, bend, t2)) return false;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {  // value
+          uint64_t vlen;
+          if (!tfx_varint(p, bend, vlen) || (uint64_t)(bend - p) < vlen)
+            return false;
+          *out = p;
+          *out_len = vlen;
+          return true;
+        }
+        if (!tfx_skip(p, bend, t2 & 7)) return false;
+      }
+      return false;
+    }
+    if (!tfx_skip(p, end, tag & 7)) return false;
+  }
+  return false;
+}
+
+// Extracts the first int64 of a Feature{int64_list} (packed or not).
+static bool tfx_feature_int64(const uint8_t* p, const uint8_t* end,
+                              int64_t* out) {
+  while (p < end) {
+    uint64_t tag;
+    if (!tfx_varint(p, end, tag)) return false;
+    if ((tag >> 3) == 3 && (tag & 7) == 2) {  // int64_list
+      uint64_t llen;
+      if (!tfx_varint(p, end, llen) || (uint64_t)(end - p) < llen)
+        return false;
+      const uint8_t* lend = p + llen;
+      while (p < lend) {
+        uint64_t t2;
+        if (!tfx_varint(p, lend, t2)) return false;
+        uint64_t v;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 0) {  // unpacked value
+          if (!tfx_varint(p, lend, v)) return false;
+          *out = (int64_t)v;
+          return true;
+        }
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {  // packed values
+          uint64_t plen;
+          if (!tfx_varint(p, lend, plen) || (uint64_t)(lend - p) < plen)
+            return false;
+          const uint8_t* pend2 = p + plen;
+          if (!tfx_varint(p, pend2, v)) return false;
+          *out = (int64_t)v;
+          return true;
+        }
+        if (!tfx_skip(p, lend, t2 & 7)) return false;
+      }
+      return false;
+    }
+    if (!tfx_skip(p, end, tag & 7)) return false;
+  }
+  return false;
+}
+
+struct TfxOut {
+  long long sub_bytes;   // required byte length of subreads/encoded
+  long long lab_bytes;   // 0 = inference (labels not required/copied)
+  uint8_t* sub;
+  uint8_t* lab;
+  int32_t* npass;
+};
+
+static bool tfx_parse_example(const uint8_t* p, const uint8_t* end,
+                              long long i, const TfxOut& o) {
+  bool got_sub = false;
+  bool got_lab = (o.lab_bytes == 0);
+  while (p < end) {
+    uint64_t tag;
+    if (!tfx_varint(p, end, tag)) return false;
+    if ((tag >> 3) == 1 && (tag & 7) == 2) {  // Example.features
+      uint64_t flen;
+      if (!tfx_varint(p, end, flen) || (uint64_t)(end - p) < flen)
+        return false;
+      const uint8_t* fend = p + flen;
+      while (p < fend) {
+        uint64_t t2;
+        if (!tfx_varint(p, fend, t2)) return false;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {  // Features.feature entry
+          uint64_t elen;
+          if (!tfx_varint(p, fend, elen) || (uint64_t)(fend - p) < elen)
+            return false;
+          const uint8_t* eend = p + elen;
+          const uint8_t* key = nullptr;
+          uint64_t key_len = 0;
+          const uint8_t* val = nullptr;
+          uint64_t val_len = 0;
+          const uint8_t* q = p;
+          while (q < eend) {
+            uint64_t t3;
+            if (!tfx_varint(q, eend, t3)) return false;
+            if ((t3 & 7) == 2) {
+              uint64_t l3;
+              if (!tfx_varint(q, eend, l3) || (uint64_t)(eend - q) < l3)
+                return false;
+              if ((t3 >> 3) == 1) {
+                key = q;
+                key_len = l3;
+              } else if ((t3 >> 3) == 2) {
+                val = q;
+                val_len = l3;
+              }
+              q += l3;
+            } else if (!tfx_skip(q, eend, t3 & 7)) {
+              return false;
+            }
+          }
+          if (key && val) {
+            const uint8_t* b;
+            uint64_t blen;
+            if (key_len == 16 && !memcmp(key, "subreads/encoded", 16)) {
+              if (!tfx_feature_bytes(val, val + val_len, &b, &blen) ||
+                  (long long)blen != o.sub_bytes)
+                return false;
+              memcpy(o.sub + i * o.sub_bytes, b, blen);
+              got_sub = true;
+            } else if (o.lab_bytes &&
+                       key_len == 13 && !memcmp(key, "label/encoded", 13)) {
+              if (!tfx_feature_bytes(val, val + val_len, &b, &blen) ||
+                  (long long)blen != o.lab_bytes)
+                return false;
+              memcpy(o.lab + i * o.lab_bytes, b, blen);
+              got_lab = true;
+            } else if (o.npass && key_len == 19 &&
+                       !memcmp(key, "subreads/num_passes", 19)) {
+              int64_t v;
+              if (tfx_feature_int64(val, val + val_len, &v))
+                o.npass[i] = (int32_t)v;
+            }
+          }
+          p = eend;
+        } else if (!tfx_skip(p, fend, t2 & 7)) {
+          return false;
+        }
+      }
+    } else if (!tfx_skip(p, end, tag & 7)) {
+      return false;
+    }
+  }
+  return got_sub && got_lab;
+}
+
+// Walks the TFRecord framing; fills offsets/lengths up to cap. Returns the
+// record count (which may exceed cap — call again with more room), or -1
+// on malformed framing.
+static long long tfx_scan(const uint8_t* buf, long long n, long long* offs,
+                          long long* lens, long long cap) {
+  long long p = 0;
+  long long count = 0;
+  while (p < n) {
+    if (n - p < 12) return -1;
+    uint64_t len;
+    memcpy(&len, buf + p, 8);
+    if ((uint64_t)(n - p - 16) < len) return -1;
+    if (count < cap) {
+      offs[count] = p + 12;
+      lens[count] = (long long)len;
+    }
+    count++;
+    p += 12 + (long long)len + 4;
+  }
+  return count;
+}
+
+extern "C" {
+
+long long dc_tfrecord_count(const uint8_t* buf, long long n) {
+  return tfx_scan(buf, n, nullptr, nullptr, 0);
+}
+
+// Parses every example in an inflated TFRecord stream into the output
+// batch arrays. lab_bytes==0 skips labels (inference datasets). Returns
+// the record count, or -1 on any malformed record (caller falls back to
+// the Python parser).
+long long dc_tfexample_parse_batch(const uint8_t* buf, long long n,
+                                   long long sub_bytes, long long lab_bytes,
+                                   uint8_t* out_sub, uint8_t* out_lab,
+                                   int32_t* out_npass, long long cap,
+                                   int n_threads) {
+  std::vector<long long> offs(cap), lens(cap);
+  long long cnt = tfx_scan(buf, n, offs.data(), lens.data(), cap);
+  if (cnt < 0 || cnt > cap) return -1;
+  TfxOut o = {sub_bytes, lab_bytes, out_sub, out_lab, out_npass};
+  if (n_threads <= 1 || cnt < 64) {
+    for (long long i = 0; i < cnt; i++) {
+      if (!tfx_parse_example(buf + offs[i], buf + offs[i] + lens[i], i, o))
+        return -1;
+    }
+    return cnt;
+  }
+  std::vector<std::thread> threads;
+  std::vector<char> oks(n_threads, 1);
+  long long chunk = (cnt + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long long lo = t * chunk;
+    long long hi = lo + chunk < cnt ? lo + chunk : cnt;
+    if (lo >= hi) break;
+    threads.emplace_back([&, t, lo, hi] {
+      for (long long i = lo; i < hi; i++) {
+        if (!tfx_parse_example(buf + offs[i], buf + offs[i] + lens[i], i,
+                               o)) {
+          oks[t] = 0;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < n_threads; t++) {
+    if (!oks[t]) return -1;
+  }
+  return cnt;
+}
+
+}  // extern "C"

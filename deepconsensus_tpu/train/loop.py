@@ -346,6 +346,7 @@ def train(
   variables = mesh_lib.shard_params(variables, mesh)
   opt_state = mesh_lib.shard_params(opt_state, mesh)
 
+  input_workers = int(frozen.get('input_workers', 0))
   train_iter = input_pipeline.Prefetcher(
       input_pipeline.example_stream(
           frozen.train_path,
@@ -353,11 +354,13 @@ def train(
           frozen.batch_size,
           shuffle_buffer=frozen.buffer_size,
           seed=frozen.seed,
+          num_workers=input_workers,
       )
   )
   eval_iter = input_pipeline.Prefetcher(
       input_pipeline.example_stream(
-          frozen.eval_path, frozen, frozen.batch_size, shuffle_buffer=0
+          frozen.eval_path, frozen, frozen.batch_size, shuffle_buffer=0,
+          num_workers=input_workers,
       )
   )
 

@@ -43,6 +43,92 @@ def test_input_pipeline_shapes():
   assert rows.max() <= 500.0
 
 
+def test_format_rows_batch_matches_per_example():
+  from deepconsensus_tpu.models import data as data_lib
+
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  rng = np.random.default_rng(0)
+  n_rows = 5 * params.max_passes + 5  # raw featurizer row count
+  sub = rng.uniform(0, 600, size=(6, n_rows, 100, 1)).astype(np.float32)
+  batch = data_lib.format_rows_batch(sub, params)
+  for i in range(6):
+    np.testing.assert_array_equal(
+        batch[i], data_lib.format_rows(sub[i], params)
+    )
+
+
+def test_remove_gaps_batch_matches_per_example():
+  from deepconsensus_tpu import constants
+  from deepconsensus_tpu.models import data as data_lib
+
+  rng = np.random.default_rng(1)
+  labels = rng.integers(0, 5, size=(20, 30)).astype(np.float32)
+  labels[rng.uniform(size=labels.shape) < 0.3] = constants.GAP_INT
+  batch = data_lib.remove_internal_gaps_and_shift_batch(labels)
+  for i in range(20):
+    np.testing.assert_array_equal(
+        batch[i], data_lib.remove_internal_gaps_and_shift(labels[i])
+    )
+
+
+def _example_multiset(stream):
+  import hashlib
+
+  out = []
+  for rows, labels in stream:
+    for i in range(rows.shape[0]):
+      h = hashlib.sha1(rows[i].tobytes())
+      if labels is not None:
+        h.update(labels[i].tobytes())
+      out.append(h.hexdigest())
+  return sorted(out)
+
+
+def test_parallel_stream_same_examples_as_serial():
+  """num_workers>0 draws the same example multiset per epoch (different
+  order: chunked shuffle vs reservoir) and identical batch shapes."""
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  serial = input_pipeline.example_stream(
+      params.train_path, params, batch_size=16, shuffle_buffer=64,
+      repeat=False, drop_remainder=False,
+  )
+  parallel = input_pipeline.example_stream(
+      params.train_path, params, batch_size=16, shuffle_buffer=64,
+      repeat=False, num_workers=2, chunk_records=50, drop_remainder=False,
+  )
+  s_batches = list(serial)
+  p_batches = list(parallel)
+  assert len(s_batches) == len(p_batches)
+  assert s_batches[0][0].shape == p_batches[0][0].shape
+  assert s_batches[0][1].shape == p_batches[0][1].shape
+  assert _example_multiset(iter(s_batches)) == _example_multiset(
+      iter(p_batches)
+  )
+
+
+def test_parallel_stream_deterministic():
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+
+  def first_two(seed):
+    stream = input_pipeline.example_stream(
+        params.train_path, params, batch_size=8, shuffle_buffer=32,
+        repeat=False, num_workers=2, seed=seed, chunk_records=50,
+    )
+    a = next(stream)
+    b = next(stream)
+    return a, b
+
+  (a1, al1), (b1, bl1) = first_two(3)
+  (a2, al2), (b2, bl2) = first_two(3)
+  np.testing.assert_array_equal(a1, a2)
+  np.testing.assert_array_equal(b1, b2)
+  np.testing.assert_array_equal(al1, al2)
+  np.testing.assert_array_equal(bl1, bl2)
+
+
 def test_train_smoke_end_to_end(tmp_path):
   """Trains 2 steps, writes checkpoint artifacts, metrics are finite.
 
