@@ -192,19 +192,80 @@ def bench_model_windows(checkpoint: str, batch_size: int = 1024,
   done = 0
   pending = []
   for _ in range(iters):
-    pending.append(runner.predict(rows))
+    # predict_async enqueues without blocking; keeping 2 dispatches in
+    # flight overlaps tunnel latency with device compute.
+    pending.append(runner.predict_async(rows))
     done += 1
-    # Keep a 2-deep async pipeline: dispatch overlaps compute, but the
-    # budget check still sees real elapsed time.
     if len(pending) > 2:
-      jax.block_until_ready(pending.pop(0))
+      runner.collect(pending.pop(0))
     if time.time() - t0 > time_budget_s:
       break
-  jax.block_until_ready(pending)
+  for h in pending:
+    runner.collect(h)
   dt = time.time() - t0
   rate = batch_size * done / dt
   _partial['windows_per_sec'] = max(_partial.get('windows_per_sec', 0.0), rate)
+  _partial.update(mfu_estimate(_partial['windows_per_sec'], params))
   return rate
+
+
+def forward_flops_per_window(params) -> float:
+  """Analytic forward FLOPs for one window (matmul terms, 2*M*N*K each).
+
+  Counts the condenser, per-layer QKV/output projections, attention
+  score+context matmuls, FFN, and the vocab head — the same accounting as
+  the scaling-book MFU convention (elementwise/softmax ignored).
+  """
+  H = params.hidden_size
+  L = params.max_length
+  F = params.filter_size
+  n_layers = params.num_hidden_layers
+  embed_dim = params.transformer_input_size  # condenser input width
+  flops = 2 * L * embed_dim * H  # condenser dense
+  per_layer = (
+      2 * L * H * H * 4        # Q, K, V, output projections
+      + 2 * 2 * L * L * H      # scores (L,H)x(H,L) + context (L,L)x(L,H)
+      + 2 * 2 * L * H * F      # FFN up + down
+  )
+  flops += n_layers * per_layer
+  flops += 2 * L * H * params.vocab_size  # logits head
+  return float(flops)
+
+
+# Peak dense-matmul FLOP/s by TPU generation (f32 on the MXU; the bench
+# forward runs f32 because bf16 is not FASTQ-safe — measured in
+# tools/bench_variants.py). bf16 peaks are 2x these.
+_PEAK_F32_TFLOPS = {
+    'TPU v4': 137.0,
+    'TPU v5 lite': 98.5,
+    'TPU v5e': 98.5,
+    'TPU v5p': 229.5,
+    'TPU v6e': 459.0,
+    'TPU v6 lite': 459.0,
+}
+
+
+def mfu_estimate(windows_per_sec: float, params) -> dict:
+  """Achieved model TFLOP/s and, when the chip generation is known, MFU."""
+  import jax
+
+  tflops = windows_per_sec * forward_flops_per_window(params) / 1e12
+  out = {'model_tflops_per_sec': round(tflops, 3)}
+  try:
+    kind = jax.devices()[0].device_kind
+  except Exception:
+    kind = ''
+  peak = None
+  best_len = 0
+  for name, p in _PEAK_F32_TFLOPS.items():
+    if kind.startswith(name) and len(name) > best_len:
+      peak, best_len = p, len(name)
+  if peak:
+    out['mfu_estimate'] = round(tflops / peak, 5)
+    out['device_kind'] = kind
+  elif kind:
+    out['device_kind'] = kind
+  return out
 
 
 _partial = {}
@@ -228,13 +289,14 @@ def main():
   import signal
 
   def on_alarm(signum, frame):
-    _emit(
-        _partial.get('zmws_per_sec', 0.0),
-        {
-            'windows_per_sec_batch1024': _partial.get('windows_per_sec', 0.0),
-            'note': 'watchdog timeout — partial measurements',
-        },
-    )
+    extra = {
+        'windows_per_sec_batch1024': _partial.get('windows_per_sec', 0.0),
+        'note': 'watchdog timeout — partial measurements',
+    }
+    for k in ('model_tflops_per_sec', 'mfu_estimate', 'device_kind'):
+      if k in _partial:
+        extra[k] = _partial[k]
+    _emit(_partial.get('zmws_per_sec', 0.0), extra)
     os._exit(0)
 
   signal.signal(signal.SIGALRM, on_alarm)
@@ -247,9 +309,11 @@ def main():
   _partial['zmws_per_sec'] = zmws_per_sec
   windows_per_sec = bench_model_windows(checkpoint)
   signal.alarm(0)
-  _emit(
-      zmws_per_sec, {'windows_per_sec_batch1024': round(windows_per_sec, 1)}
-  )
+  extra = {'windows_per_sec_batch1024': round(windows_per_sec, 1)}
+  for k in ('model_tflops_per_sec', 'mfu_estimate', 'device_kind'):
+    if k in _partial:
+      extra[k] = _partial[k]
+  _emit(zmws_per_sec, extra)
 
 
 if __name__ == '__main__':
