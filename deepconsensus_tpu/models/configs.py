@@ -222,7 +222,9 @@ def get_config(config_name: Optional[str] = None) -> ml_collections.ConfigDict:
   elif model_name == 'conv_net':
     _set_fc_hparams(params)
     params.model_name = 'conv_net'
-    params.conv_model = 'resnet_v2_small'
+    # ResNet50/101/152V2 backbone selection (reference
+    # model_configs.py:333 default + networks.py:100-117).
+    params.conv_model = 'resnet50'
   elif model_name == 'transformer':
     _set_base_transformer_hparams(params)
   elif model_name == 'transformer_learn_values':

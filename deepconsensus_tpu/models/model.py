@@ -588,37 +588,112 @@ class FullyConnectedNet(nn.Module):
     return jax.nn.softmax(h, axis=-1)
 
 
-class ResBlock(nn.Module):
-  """Pre-activation residual conv block (ResNetV2 style)."""
+class BottleneckV2(nn.Module):
+  """Pre-activation bottleneck block (He et al. v2; keras resnet_v2.block2).
 
-  features: int
-  strides: Tuple[int, int] = (1, 1)
+  preact norm+relu -> 1x1 reduce -> norm+relu -> 3x3 (carries the stride)
+  -> norm+relu -> 1x1 expand to 4*filters. Shortcut: 1x1 conv on the
+  preactivated input when the block changes width, a strided 1x1 max-pool
+  when it only downsamples, identity otherwise — exactly keras's wiring.
+  """
+
+  filters: int
+  stride: int = 1
+  conv_shortcut: bool = False
   dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x):
-    h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
-    h = nn.relu(h)
-    shortcut = x
-    if x.shape[-1] != self.features or self.strides != (1, 1):
+    preact = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x)
+    preact = nn.relu(preact)
+    if self.conv_shortcut:
       shortcut = nn.Conv(
-          self.features, (1, 1), self.strides, dtype=self.dtype
-      )(h)
-    h = nn.Conv(self.features, (3, 3), self.strides, dtype=self.dtype)(h)
-    h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h)
+          4 * self.filters, (1, 1), (self.stride, self.stride),
+          dtype=self.dtype, name='shortcut',
+      )(preact)
+    elif self.stride > 1:
+      shortcut = nn.max_pool(
+          x, (1, 1), strides=(self.stride, self.stride)
+      )
+    else:
+      shortcut = x
+    h = nn.Conv(
+        self.filters, (1, 1), use_bias=False, dtype=self.dtype, name='conv1'
+    )(preact)
+    h = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(h)
     h = nn.relu(h)
-    h = nn.Conv(self.features, (3, 3), dtype=self.dtype)(h)
+    h = nn.Conv(
+        self.filters, (3, 3), (self.stride, self.stride), use_bias=False,
+        dtype=self.dtype, name='conv2',
+    )(h)
+    h = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(h)
+    h = nn.relu(h)
+    h = nn.Conv(4 * self.filters, (1, 1), dtype=self.dtype, name='conv3')(h)
     return shortcut + h
 
 
-class ConvNet(nn.Module):
-  """Convolutional baseline over the (rows, length) feature image.
+# Stage depths of the three backbones the reference instantiates
+# (keras ResNet{50,101,152}V2; reference networks.py:100-117).
+_RESNET_DEPTHS = {
+    'resnet50': (3, 4, 6, 3),
+    'resnet101': (3, 4, 23, 3),
+    'resnet152': (3, 8, 36, 3),
+}
 
-  TPU-native counterpart of the reference's ResNetV2-backbone baseline
-  (networks.py:121-170): a pre-activation residual CNN over the window
-  image with the SN rows optionally concatenated before the head. The
-  reference instantiates keras ResNet50V2 with random weights; here the
-  backbone is a compact ResNetV2-style stack sized for the 85x100 input.
+
+class ResNetV2(nn.Module):
+  """ResNetV2 backbone, architecturally equivalent to keras ResNet*V2.
+
+  Stem: 7x7/2 conv + 3x3/2 max pool; four bottleneck stages with widths
+  64/128/256/512 (x4 expansion), downsampling at the END of stages 1-3
+  (keras's stack2 places stride1=2 on each stage's last block); final
+  norm+relu; global average pool. Documented deviation from the
+  reference: BatchNorm is replaced by GroupNorm(32) — batch statistics
+  would need cross-replica sync on a TPU mesh, while GroupNorm is
+  batch-independent and mesh-free with equivalent capacity at these
+  widths. Weights are random-init in the reference too (weights=None,
+  networks.py:131-136), so there is no pretrained-checkpoint contract to
+  preserve.
+  """
+
+  depths: Tuple[int, ...]
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    h = nn.Conv(
+        64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], dtype=self.dtype,
+        name='stem_conv',
+    )(x)
+    h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    for stage, (filters, blocks) in enumerate(
+        zip((64, 128, 256, 512), self.depths)
+    ):
+      last_stride = 2 if stage < 3 else 1
+      for i in range(blocks):
+        h = BottleneckV2(
+            filters,
+            stride=last_stride if i == blocks - 1 else 1,
+            conv_shortcut=(i == 0),
+            dtype=self.dtype,
+            name=f'stage{stage + 1}_block{i + 1}',
+        )(h)
+    h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name='post_norm')(h)
+    h = nn.relu(h)
+    return jnp.mean(h, axis=(1, 2))  # pooling='avg'
+
+
+class ConvNet(nn.Module):
+  """Convolutional baseline (reference ConvNet, networks.py:121-170).
+
+  A full ResNet50/101/152V2 backbone (params.conv_model) over the window
+  feature image, global-average-pooled, with the 4 SN values concatenated
+  when params.use_sn, then a single dense to max_length*vocab logits —
+  the reference's exact head (networks.py:142-169). Input scaling mirrors
+  resnet_v2.preprocess_input (x/127.5 - 1). The reference splits off the
+  SN channel before the backbone; here the equivalent SN rows are dropped
+  from the image and re-enter at the head, the same information flow over
+  the row-stacked (not channel-stacked) layout this framework uses.
   """
 
   params: ml_collections.FrozenConfigDict
@@ -632,30 +707,24 @@ class ConvNet(nn.Module):
     x = rows.astype(self.dtype)  # (B, R, L, 1)
     sn_slice = configs.get_indices(p.max_passes, p.use_ccs_bq)[6]
     sn_rows = x[:, sn_slice[0] : sn_slice[1], 0, 0]  # (B, 4), constant rows
+    img = x[:, : sn_slice[0]]  # backbone sees everything but the SN rows
+    img = img / 127.5 - 1.0  # resnet_v2.preprocess_input equivalent
 
-    h = nn.Conv(32, (5, 5), (2, 1), dtype=self.dtype)(x)
-    for features, strides in (
-        (32, (1, 1)),
-        (64, (2, 1)),
-        (64, (1, 1)),
-        (128, (2, 1)),
-    ):
-      h = ResBlock(features, strides, self.dtype)(h)
-    h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h)
-    h = nn.relu(h)
-    # Pool the row axis; keep the position axis for per-position logits.
-    h = jnp.mean(h, axis=1)  # (B, L, C)
+    depths = _RESNET_DEPTHS.get(p.get('conv_model', 'resnet50'))
+    if depths is None:
+      raise NotImplementedError(
+          f'conv model "{p.conv_model}" not found'
+      )  # same error contract as reference networks.py:117
+    feat = ResNetV2(depths, dtype=self.dtype, name='backbone')(img)
+
     if p.use_sn:
-      sn = jnp.broadcast_to(
-          sn_rows[:, None, :], (h.shape[0], h.shape[1], 4)
-      ).astype(self.dtype)
-      h = jnp.concatenate([h, sn], axis=-1)
-    h = nn.Dense(128, dtype=self.dtype)(h)
-    h = nn.relu(h)
-    logits = nn.Dense(
-        constants.SEQ_VOCAB_SIZE, dtype=jnp.float32, name='logits'
-    )(h)
-    return jax.nn.softmax(logits, axis=-1)
+      feat = jnp.concatenate([feat, sn_rows.astype(self.dtype)], axis=-1)
+    h = nn.Dense(
+        p.max_length * constants.SEQ_VOCAB_SIZE, dtype=jnp.float32,
+        name='head',
+    )(feat)
+    h = h.reshape(h.shape[0], p.max_length, constants.SEQ_VOCAB_SIZE)
+    return jax.nn.softmax(h, axis=-1)
 
 
 def get_model(params: ml_collections.ConfigDict, dtype=jnp.float32):

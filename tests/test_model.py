@@ -128,3 +128,66 @@ def test_raw_rows_transformer_forward():
   out = model.apply(variables, rows, deterministic=True)
   assert out.shape == (2, 100, 5)
   np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_conv_net_resnet50_forward():
+  """ConvNet baseline: full ResNet50V2 backbone + reference head
+  (reference networks.py:121-170; weights random-init there too)."""
+  params = configs.get_config('conv_net+test')
+  configs.finalize_params(params)
+  assert params.conv_model == 'resnet50'
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  rows = _real_rows(params, n=2)
+  out1 = model.apply(variables, rows, deterministic=True)
+  out2 = model.apply(variables, rows, deterministic=True)
+  assert out1.shape == (2, 100, 5)
+  np.testing.assert_allclose(np.asarray(out1.sum(-1)), 1.0, rtol=1e-5)
+  np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+  # ResNet50V2 depth: stem + 4 stages of (3,4,6,3) bottlenecks.
+  backbone = variables['params']['backbone']
+  blocks = [k for k in backbone if k.startswith('stage')]
+  assert len(blocks) == 16
+  assert sum(1 for k in blocks if k.startswith('stage3_')) == 6
+
+
+def test_conv_net_backbone_depths():
+  """conv_model selects ResNet101/152V2 depths; unknown names raise the
+  reference's NotImplementedError contract (networks.py:117)."""
+  from deepconsensus_tpu.models.model import _RESNET_DEPTHS
+
+  assert _RESNET_DEPTHS['resnet101'] == (3, 4, 23, 3)
+  assert _RESNET_DEPTHS['resnet152'] == (3, 8, 36, 3)
+  params = configs.get_config('conv_net+test')
+  with params.unlocked():
+    params.conv_model = 'resnet34'
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  with pytest.raises(NotImplementedError):
+    model_lib.init_params(model, params)
+
+
+def test_conv_net_sn_reaches_head():
+  """use_sn concatenates the 4 SN values after pooling: changing SN rows
+  must change the output; with use_sn=False it must not."""
+  params = configs.get_config('conv_net+test')
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  rows = _real_rows(params, n=1)
+  sn_lo, sn_hi = configs.get_indices(params.max_passes, params.use_ccs_bq)[6]
+  bumped = rows.copy()
+  bumped[:, sn_lo:sn_hi] += 7.0
+  out_a = np.asarray(model.apply(variables, rows, deterministic=True))
+  out_b = np.asarray(model.apply(variables, bumped, deterministic=True))
+  assert np.abs(out_a - out_b).max() > 0
+
+  params_nosn = configs.get_config('conv_net+test')
+  with params_nosn.unlocked():
+    params_nosn.use_sn = False
+  configs.finalize_params(params_nosn)
+  model2 = model_lib.get_model(params_nosn)
+  variables2 = model_lib.init_params(model2, params_nosn)
+  out_c = np.asarray(model2.apply(variables2, rows, deterministic=True))
+  out_d = np.asarray(model2.apply(variables2, bumped, deterministic=True))
+  np.testing.assert_array_equal(out_c, out_d)
