@@ -197,6 +197,26 @@ def create_proc_feeder(
     truth_ref_coords = read_truth_bedfile(truth_bed)
     truth_split_dict = read_truth_split(truth_split)
 
+  # Resync buffer: the ccs bam is normally sorted in the same ZMW order
+  # as subreads_to_ccs (the reference assumes exactly that and raises on
+  # any divergence, pre_lib.py:1320-1326). Owning the BAM layer lets us
+  # do better: records scanned past during a lookup are parked here so a
+  # later ZMW can still find them, and a genuinely absent record skips
+  # just that ZMW (counted) instead of killing the whole shard.
+  ccs_parked: 'collections.OrderedDict[str, object]' = collections.OrderedDict()
+  _PARKED_CAP = 1024
+
+  def find_ccs_record(ccs_seqname):
+    if ccs_seqname in ccs_parked:
+      return ccs_parked.pop(ccs_seqname)
+    for cand in ccs_reader:
+      if cand.qname == ccs_seqname:
+        return cand
+      ccs_parked[cand.qname] = cand
+      while len(ccs_parked) > _PARKED_CAP:
+        ccs_parked.popitem(last=False)
+    return None
+
   def proc_feeder():
     for read_set in subread_grouper:
       main_counter['n_zmw_processed'] += 1
@@ -207,15 +227,13 @@ def create_proc_feeder(
           for rec in read_set
       ]
       ccs_seqname = read_set[0].reference_name
-      # The ccs bam is sorted in the same ZMW order as subreads_to_ccs;
-      # scan forward to the matching record (pre_lib.py:1320-1326).
-      ccs_bam_read = None
-      for cand in ccs_reader:
-        if cand.qname == ccs_seqname:
-          ccs_bam_read = cand
-          break
+      ccs_bam_read = find_ccs_record(ccs_seqname)
       if ccs_bam_read is None:
-        raise ValueError(f'ccs bam does not contain {ccs_seqname}')
+        logger.warning(
+            'ccs bam does not contain %s; skipping ZMW.', ccs_seqname
+        )
+        main_counter['n_zmw_missing_ccs_record'] += 1
+        continue
 
       ccs_read = reads_lib.construct_ccs_read(ccs_bam_read)
       window_widths = None

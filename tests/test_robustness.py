@@ -71,9 +71,10 @@ def test_unmapped_only_bam_yields_no_zmws(tmp_path):
   assert list(proc()) == []
 
 
-def test_missing_ccs_read_raises(tmp_path):
-  # Subreads referencing a CCS name absent from ccs.bam must fail loudly
-  # (reference: pre_lib.py:1324-1326).
+def test_missing_ccs_read_skips_zmw(tmp_path):
+  # Subreads referencing a CCS name absent from ccs.bam: the reference
+  # kills the whole shard (pre_lib.py:1324-1326); owning the BAM layer we
+  # instead skip+count that ZMW and keep processing the rest.
   header, subs = bam.read_all(f'{HUMAN_1M}/subreads_to_ccs.bam')
   ccs_header, ccs = bam.read_all(f'{HUMAN_1M}/ccs.bam')
   short_ccs = str(tmp_path / 'short_ccs.bam')
@@ -81,14 +82,36 @@ def test_missing_ccs_read_raises(tmp_path):
     for rec in ccs[:1]:
       w.write_record(rec)
   dc = windows.DcConfig(20, 100, False)
-  proc, _ = feeder.create_proc_feeder(
+  proc, counter = feeder.create_proc_feeder(
       subreads_to_ccs=f'{HUMAN_1M}/subreads_to_ccs.bam',
       ccs_bam=short_ccs,
       dc_config=dc,
   )
-  with pytest.raises(ValueError, match='ccs bam does not contain'):
-    for _ in proc():
-      pass
+  yielded = [zmw for _, zmw, _, _, _ in proc()]
+  assert yielded == [ccs[0].qname]
+  assert counter['n_zmw_missing_ccs_record'] == len(ccs) - 1
+  assert counter['n_zmw_pass'] == 1
+
+
+def test_out_of_order_ccs_bam_resyncs(tmp_path):
+  # A ccs.bam whose record order diverges from subreads_to_ccs: records
+  # scanned past are parked and found later, so every ZMW still pairs up
+  # (the reference would raise after exhausting its forward scan).
+  ccs_header, ccs = bam.read_all(f'{HUMAN_1M}/ccs.bam')
+  shuffled = str(tmp_path / 'shuffled_ccs.bam')
+  with bam.BamWriter(shuffled, ccs_header) as w:
+    for rec in reversed(ccs):
+      w.write_record(rec)
+  dc = windows.DcConfig(20, 100, False)
+  proc, counter = feeder.create_proc_feeder(
+      subreads_to_ccs=f'{HUMAN_1M}/subreads_to_ccs.bam',
+      ccs_bam=shuffled,
+      dc_config=dc,
+  )
+  yielded = [zmw for _, zmw, _, _, _ in proc()]
+  assert sorted(yielded) == sorted(r.qname for r in ccs)
+  assert counter['n_zmw_missing_ccs_record'] == 0
+  assert counter['n_zmw_pass'] == len(ccs)
 
 
 def test_malformed_window_values_do_not_nan(tmp_path):

@@ -248,3 +248,46 @@ def test_train_smoke_other_architectures(model_name, tmp_path):
   metrics = loop.train(out_dir, params, num_devices=1, log_train_steps=1)
   assert np.isfinite(metrics['eval/loss'])
   assert os.path.exists(os.path.join(out_dir, 'best_checkpoint.txt'))
+
+
+def test_yield_over_ccs_matches_reference_semantics():
+  """MetricAccumulator.yield_over_ccs vs the reference YieldOverCCSMetric
+  (losses_and_metrics.py:1114-1167): per-update >= 0.997 threshold counts
+  for pred and CCS, result = divide_no_nan(yield_dc, yield_ccs).
+
+  Hand-computed: updates with (identity_pred, identity_ccs) =
+  (0.999, 0.998), (0.990, 0.999), (0.997, 0.90), (0.50, 0.997)
+  -> yield_dc = 2 (0.999, 0.997 pass), yield_ccs = 3 (0.998, 0.999,
+  0.997 pass) -> 2/3. The reference counts exactly these per update_state
+  call; divide_no_nan(x, 0) == 0 covers the empty-CCS edge.
+  """
+  from deepconsensus_tpu.train.loop import MetricAccumulator
+
+  acc = MetricAccumulator(quality_threshold=0.997)
+  cases = [(0.999, 0.998), (0.990, 0.999), (0.997, 0.90), (0.50, 0.997)]
+  for pred, ccs in cases:
+    acc.update({
+        'loss': 1.0,
+        'correct_examples': 0,
+        'total_examples': 1,
+        'identity_pred': pred,
+        'identity_ccs': ccs,
+    })
+  res = acc.result('eval')
+  assert res['eval/yield_over_ccs'] == pytest.approx(2.0 / 3.0)
+
+  # divide_no_nan: no CCS batch ever passes -> 0.0, not a ZeroDivisionError.
+  acc2 = MetricAccumulator(quality_threshold=0.997)
+  acc2.update({
+      'loss': 0.0, 'correct_examples': 0, 'total_examples': 1,
+      'identity_pred': 1.0, 'identity_ccs': 0.5,
+  })
+  assert acc2.result('eval')['eval/yield_over_ccs'] == 0.0
+
+  # Exact-threshold inclusivity (>=, not >), matching tf.cast(x >= t).
+  acc3 = MetricAccumulator(quality_threshold=0.997)
+  acc3.update({
+      'loss': 0.0, 'correct_examples': 0, 'total_examples': 1,
+      'identity_pred': 0.997, 'identity_ccs': 0.997,
+  })
+  assert acc3.result('eval')['eval/yield_over_ccs'] == 1.0
