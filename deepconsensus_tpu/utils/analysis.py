@@ -6,14 +6,24 @@ Equivalents of the reference's notebook/analysis utilities
 content, example decoding/pretty-printing for window inspection.
 """
 
+import glob
 import itertools
-from typing import List, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 
 from deepconsensus_tpu import constants
 from deepconsensus_tpu.models import configs
 from deepconsensus_tpu.utils import phred
+
+# ANSI highlight codes for terminal/notebook error displays
+# (reference: colab_utils.py:39-42).
+WRITE_NORMAL = '\x1b[0m'
+WRITE_GREEN_BACKGROUND = '\x1b[102m'
+WRITE_RED_BACKGROUND = '\x1b[101m'
+WRITE_YELLOW_BACKGROUND = '\x1b[103m'
+
+KMER_SIZE = 10
 
 
 def remove_gaps(seq: str) -> str:
@@ -92,17 +102,109 @@ def pretty_print_window(
     max_passes: int,
     label: np.ndarray = None,
     pred: np.ndarray = None,
+    print_aux: bool = False,
 ) -> str:
-  """Renders a window's subread stack (+CCS, label, prediction) as text."""
+  """Renders a window's subread stack (+CCS, label, prediction) as text.
+
+  With print_aux, also renders the PW/IP/strand rows per subread
+  (reference: colab_utils.py:96-121 pretty_print_proto(print_aux=True)).
+  """
   rows = np.squeeze(np.asarray(rows))
   idx = configs.get_indices(max_passes, use_ccs_bq=False)
+  present = [i for i in range(*idx[0]) if rows[i].sum() != 0]
   lines = []
-  for i in range(*idx[0]):
-    if rows[i].sum() != 0:
-      lines.append(f'subread {i:<3} >{ints_to_bases(rows[i])}')
+  for i in present:
+    lines.append(f'subread {i:<3} >{ints_to_bases(rows[i])}')
   lines.append(f'{"ccs":<11} >{ints_to_bases(rows[idx[4][0]])}')
   if label is not None:
     lines.append(f'{"label":<11} >{ints_to_bases(np.squeeze(label))}')
   if pred is not None:
     lines.append(f'{"pred":<11} >{ints_to_bases(np.squeeze(pred))}')
+  if print_aux:
+    pw0, ip0, strand0 = idx[1][0], idx[2][0], idx[3][0]
+    for title, base in (('PW', pw0), ('IP', ip0)):
+      lines.append('')
+      lines.append(f'{title}:')
+      for i in present:
+        vals = rows[base + (i - idx[0][0])]
+        lines.append(''.join('%4d' % v for v in vals))
+    lines.append('')
+    lines.append('Strand:')
+    for i in present:
+      vals = rows[strand0 + (i - idx[0][0])]
+      lines.append(''.join('%4d' % v for v in vals))
   return '\n'.join(lines)
+
+
+def highlight_errors(label: str, pred: str) -> str:
+  """Renders pred with per-position ANSI highlights against label.
+
+  Green = match, red = substitution, yellow = length overhang. An
+  inspection aid for the notebook workflow built on the reference's
+  ANSI constants (colab_utils.py:39-42).
+  """
+  out = []
+  for i, c in enumerate(pred):
+    if i < len(label) and c == label[i]:
+      out.append(WRITE_GREEN_BACKGROUND + c)
+    elif i < len(label):
+      out.append(WRITE_RED_BACKGROUND + c)
+    else:
+      out.append(WRITE_YELLOW_BACKGROUND + c)
+  out.append(WRITE_NORMAL)
+  return ''.join(out)
+
+
+def get_prediction(
+    apply_fn: Callable[[np.ndarray], np.ndarray], rows: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+  """Runs a forward fn on rows, returning (probabilities, argmax ids).
+
+  Functional-JAX equivalent of the reference's
+  get_deepconsensus_prediction (colab_utils.py:53-59): apply_fn is any
+  callable mapping a (B, rows, length, 1) batch to per-position softmax
+  probabilities, e.g. a jitted partial of Model.apply or an inference
+  ModelRunner's forward.
+  """
+  probs = np.asarray(apply_fn(rows))
+  return probs, probs.argmax(axis=-1)
+
+
+def get_results_df(
+    experiments: Sequence[int], experiment_pattern: str, decimals: int = 5
+):
+  """Aggregates batch-eval inference.csv files into one DataFrame.
+
+  (reference: colab_utils.py:124-152) — experiment_pattern contains '{}'
+  filled with each experiment number and may glob; the last three path
+  components identify the experiment/work-unit. Imports pandas lazily so
+  the core package keeps its minimal dependency set.
+  """
+  import pandas as pd
+
+  frames = []
+  for experiment in experiments:
+    for inference_csv in sorted(glob.glob(experiment_pattern.format(experiment))):
+      n_rows = 2
+      curr_df = pd.read_csv(inference_csv, nrows=n_rows)
+      curr_df['experiment_and_work_unit'] = [
+          '/'.join(inference_csv.split('/')[-3:-1])
+      ] * len(curr_df)
+      curr_df['dataset_type'] = 'eval'
+      frames.append(curr_df)
+  assert frames, f'no inference CSVs matched {experiment_pattern!r}'
+  all_lines = pd.concat(frames, ignore_index=True)
+  cols = all_lines.columns.tolist()
+  reordered_columns = cols[-2:] + cols[1:-2] + [cols[0]]
+  return all_lines[reordered_columns].round(decimals)
+
+
+def get_results_df_compact(df):
+  """Keeps only the headline columns (reference: colab_utils.py:155-159)."""
+  cols_to_keep = [
+      'dataset_type',
+      'experiment_and_work_unit',
+      'accuracy',
+      'per_example_accuracy',
+  ]
+  return df[cols_to_keep]
