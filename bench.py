@@ -59,7 +59,7 @@ def ensure_big_shard() -> str:
   return out
 
 
-def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 2):
+def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
   """Steady-state pipeline throughput: model loaded once, shard streamed.
 
   A production shard holds thousands of ZMWs streamed continuously through

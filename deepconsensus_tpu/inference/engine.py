@@ -189,7 +189,16 @@ class ModelRunner:
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size)
     compact = data.compact_from_rows(padded, self.params, pass_limit)
-    return self._forward(self.variables, compact), n
+    out = self._forward(self.variables, compact)
+    # Start the device->host copy now: it completes as soon as the device
+    # finishes, overlapping the (tunnel-latency-dominated) transfer with
+    # later rounds' compute instead of paying it serially in collect().
+    for arr in out:
+      try:
+        arr.copy_to_host_async()
+      except (AttributeError, RuntimeError):
+        break
+    return out, n
 
   def collect(self, handle_n) -> Tuple[np.ndarray, np.ndarray]:
     (ids, maxp), n = handle_n
@@ -484,8 +493,15 @@ def finish_round(
 ) -> None:
   """Collects device results, stitches, writes output for one round."""
   predictions = []
-  for batch, handle in zip(state.batches, state.handles):
-    ids, maxp = runner.collect(handle)
+  # One gathered device_get for the whole round: transfers for every batch
+  # are issued together (and were already started at enqueue time), so the
+  # tunnel round-trip is paid once per round, not once per batch.
+  fetched = jax.device_get([h for h, _ in state.handles])
+  for batch, (handle_n, (ids, maxp)) in zip(
+      state.batches, zip(state.handles, fetched)
+  ):
+    n = handle_n[1]
+    ids, maxp = ids[:n], maxp[:n]
     quality_scores = quality_scores_from_probs(maxp, options)
     predictions.extend(_predictions_from_batch(batch, ids, quality_scores))
   predictions.extend(state.skipped_predictions)
