@@ -120,14 +120,21 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
       '/tmp/bench_out/stream.fastq', f'{shard}/ccs.bam'
   )
 
+  dispatcher = engine.AsyncDispatcher()
+
   def run_stream(n_rounds, start_round, t_start=None):
-    """Streams n_rounds through the engine with bounded lookahead."""
-    in_flight = []
+    """Streams n_rounds through the engine with bounded lookahead.
+
+    Dispatch runs on the engine's AsyncDispatcher thread (as in
+    engine.run_inference) so H2D backpressure overlaps the next rounds'
+    ingest+featurize instead of stalling them.
+    """
+    in_flight = []  # Futures[_RoundState]
     done_zmws = 0
 
     def finish_one():
       nonlocal done_zmws
-      st = in_flight.pop(0)
+      st = in_flight.pop(0).result()
       engine.finish_round(st, runner, writer, options, outcome, timing)
       done_zmws += st.num_zmws
       if t_start is not None and done_zmws:
@@ -143,7 +150,7 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
           inputs, str(start_round + r), stats, timing
       )
       in_flight.append(
-          engine.enqueue_round(
+          dispatcher.submit(
               feats, runner, options, str(start_round + r), n_ex, n_sub
           )
       )
@@ -185,8 +192,13 @@ def bench_model_windows(checkpoint: str, batch_size: int = 1024,
   rows = rng.integers(
       0, 3, size=(batch_size, params.total_rows, params.max_length, 1)
   ).astype(np.float32)
+  # Worst-case density: every window at max_passes (the ragged transport
+  # is the production path; synthetic random rows are fully dense).
+  num_passes = [params.max_passes] * batch_size
   # Warmup/compile.
-  ids, maxp = runner.predict(rows)
+  ids, maxp = runner.collect(
+      runner.predict_async(rows, num_passes=num_passes)
+  )
   jax.block_until_ready((ids, maxp))
   t0 = time.time()
   done = 0
@@ -194,7 +206,7 @@ def bench_model_windows(checkpoint: str, batch_size: int = 1024,
   for _ in range(iters):
     # predict_async enqueues without blocking; keeping 2 dispatches in
     # flight overlaps tunnel latency with device compute.
-    pending.append(runner.predict_async(rows))
+    pending.append(runner.predict_async(rows, num_passes=num_passes))
     done += 1
     if len(pending) > 2:
       runner.collect(pending.pop(0))

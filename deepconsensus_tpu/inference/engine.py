@@ -176,18 +176,62 @@ class ModelRunner:
           probs, axis=-1
       )
 
-    self._forward = jax.jit(forward)
+    L = int(params.max_length)
 
-  def predict_async(self, rows: np.ndarray, pass_limit=None):
+    def unpack_nibbles(packed):
+      # Inverse of data.pack_nibbles: (…, ceil(L/2)) uint8 -> (…, L) ids.
+      lo = packed & jnp.uint8(0xF)
+      hi = packed >> 4
+      ids = jnp.stack([lo, hi], axis=-1).reshape(
+          packed.shape[:-1] + (2 * packed.shape[-1],)
+      )
+      return ids[..., :L]
+
+    def forward_ragged(variables, t):
+      # Rebuild the (B, max_passes, L) padded feature layout on DEVICE
+      # from the minimum-byte flat transport (data.ragged_from_rows): one
+      # gather per feature; flat row 0 is the zeros sentinel, so padding
+      # slots reconstruct exactly the all-zero rows of the dense layout.
+      idx = t['row_index']
+      compact = {
+          'bases': unpack_nibbles(jnp.take(t['flat_bases'], idx, axis=0)),
+          'pw': jnp.take(t['flat_pw'], idx, axis=0),
+          'ip': jnp.take(t['flat_ip'], idx, axis=0),
+          'strand': t['strand'],
+          'ccs': unpack_nibbles(t['ccs']),
+          'sn': t['sn'],
+      }
+      if 'ccs_bq' in t:
+        compact['ccs_bq'] = t['ccs_bq']
+      return forward(variables, compact)
+
+    self._forward = jax.jit(forward)
+    self._forward_ragged = jax.jit(forward_ragged)
+    self.transport = 'ragged'
+
+  def predict_async(self, rows: np.ndarray, pass_limit=None,
+                    num_passes=None):
     """Enqueues the forward without blocking; returns (handle, n).
 
     JAX dispatch is asynchronous: enqueueing all batches before collecting
     pipelines host->device transfer with device compute, which matters
-    enormously when the chip sits behind a high-latency link. pass_limit
-    ships only that many subread rows (jit specializes per bucket shape).
+    enormously when the chip sits behind a high-latency link. With
+    num_passes (the engine path), the ragged minimum-byte transport ships
+    only real subread rows; otherwise the pass-bucketed compact transport
+    is used (pass_limit ships only that many subread rows; jit
+    specializes per bucket shape).
     """
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size)
+    if num_passes is not None:
+      ragged = data.ragged_from_rows(padded, num_passes, self.params)
+      out = self._forward_ragged(self.variables, ragged)
+      for arr in out:
+        try:
+          arr.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+          break
+      return out, n
     compact = data.compact_from_rows(padded, self.params, pass_limit)
     out = self._forward(self.variables, compact)
     # Start the device->host copy now: it completes as soon as the device
@@ -433,15 +477,23 @@ def enqueue_round(
 ) -> _RoundState:
   """Triage + asynchronous model dispatch (results collected later)."""
   for_model, skipped = triage_windows(feature_dicts_for_zmws, options)
+  # Ragged-transport runners batch all windows together (full batches, no
+  # per-bucket fragmentation); bucketed runners group by pass tier.
+  ragged = getattr(runner, 'transport', 'compact') == 'ragged'
   batches = [
       b
       for b in data.batch_feature_dicts(
-          for_model, runner.params, options.batch_size, bucket_passes=True
+          for_model, runner.params, options.batch_size,
+          bucket_passes=not ragged,
       )
       if len(b['rows'])
   ]
   handles = [
-      runner.predict_async(np.asarray(b['rows']), b.get('pass_limit'))
+      runner.predict_async(
+          np.asarray(b['rows']),
+          b.get('pass_limit'),
+          num_passes=b['num_passes'] if ragged else None,
+      )
       for b in batches
   ]
   return _RoundState(
@@ -454,6 +506,27 @@ def enqueue_round(
       num_zmws=len(feature_dicts_for_zmws),
       enqueued_at=time.time(),
   )
+
+
+class AsyncDispatcher:
+  """Runs enqueue_round on a dedicated thread.
+
+  jit dispatch is normally asynchronous, but when the host->device link
+  saturates (the remote-TPU tunnel under load) dispatch blocks in
+  transfer backpressure; a single dispatch thread lets the main thread
+  keep ingesting/featurizing later rounds through that stall. One worker
+  preserves round order and keeps all dispatch on one thread.
+  """
+
+  def __init__(self):
+    self._ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+  def submit(self, *args, **kwargs):
+    """enqueue_round(*args) off-thread; returns a Future[_RoundState]."""
+    return self._ex.submit(enqueue_round, *args, **kwargs)
+
+  def shutdown(self):
+    self._ex.shutdown(wait=True)
 
 
 def _predictions_from_batch(batch, ids, quality_scores):
@@ -732,9 +805,11 @@ def run_inference(
   zmw_index = 0
   batch_count = 0
   # One-round lookahead: while the device computes round k, the host
-  # featurizes round k+1 (dispatch is asynchronous, so enqueue-then-finish
-  # overlaps host and device work with no threads).
-  in_flight: Optional[_RoundState] = None
+  # featurizes round k+1. Dispatch runs on the AsyncDispatcher thread so
+  # even when it blocks (H2D backpressure on a saturated link) the main
+  # thread keeps featurizing.
+  dispatcher = AsyncDispatcher()
+  in_flight = None  # Optional[Future[_RoundState]]
 
   def process_round(round_inputs, name):
     nonlocal in_flight
@@ -748,12 +823,13 @@ def run_inference(
     feats, n_examples, n_subreads = featurize_round(
         round_inputs, name, stats_counter, timing, pool
     )
-    state = enqueue_round(
+    state = dispatcher.submit(
         feats, runner, options, name, n_examples, n_subreads
     )
     if in_flight is not None:
       finish_round(
-          in_flight, runner, output_writer, options, outcome_counter, timing
+          in_flight.result(), runner, output_writer, options,
+          outcome_counter, timing,
       )
     in_flight = state
 
@@ -782,8 +858,10 @@ def run_inference(
     process_round(stored, str(batch_count))
   if in_flight is not None:
     finish_round(
-        in_flight, runner, output_writer, options, outcome_counter, timing
+        in_flight.result(), runner, output_writer, options, outcome_counter,
+        timing,
     )
+  dispatcher.shutdown()
   if pool:
     pool.shutdown(wait=True)
   output_writer.close()

@@ -233,6 +233,98 @@ def batch_feature_dicts(
       yield batch
 
 
+# Flat-array capacity tiers for the ragged transport, in units of
+# batch_size subread rows. Chosen so the padded flat size tracks the
+# batch's MEAN pass count (typical HiFi data: ~8-14 passes) while keeping
+# the number of distinct compiled shapes small.
+RAGGED_ROW_TIERS = (4, 8, 12, 16, 20)
+
+
+def pack_nibbles(x: np.ndarray) -> np.ndarray:
+  """Packs small-vocab uint8 ids (< 16) two per byte along the last axis."""
+  if x.shape[-1] % 2:
+    x = np.concatenate(
+        [x, np.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
+    )
+  return (x[..., 0::2] | (x[..., 1::2] << 4)).astype(np.uint8)
+
+
+def ragged_flat_capacity(n_rows: int, batch: int, max_passes: int) -> int:
+  """Smallest flat-array tier (incl. the zeros sentinel row) >= n_rows."""
+  for m in RAGGED_ROW_TIERS:
+    cap = min(m, max_passes) * batch + 1
+    if cap >= n_rows:
+      return cap
+  return max_passes * batch + 1
+
+
+def ragged_from_rows(
+    rows: np.ndarray, num_passes: List[int], params
+) -> Dict[str, np.ndarray]:
+  """Dense rows batch -> ragged device transport (minimum-byte encoding).
+
+  The pass-bucketed compact transport still ships zero rows (every window
+  padded to its bucket's pass ceiling) and fragments rounds into
+  per-bucket partial batches. This encoding ships ONLY the subread rows
+  that exist, in one flat array per feature, plus a (B, max_passes) index
+  matrix; the device gathers rows back into the padded layout (row 0 of
+  each flat array is an all-zeros sentinel that padding slots point at).
+  Bases (vocab 5) additionally pack two ids per byte. Bit-identical to the
+  dense path: gathered+unpacked integers equal the dense rows exactly, and
+  zero rows embed to zeros either way (ScaledEmbedding masks id 0).
+
+  rows: (B, total_rows, L, 1) float32 (already clipped by format_rows),
+  possibly including all-zero padding windows (num_passes may be shorter
+  than B; the tail is treated as zero-pass padding).
+  """
+  (
+      base_idx,
+      pw_idx,
+      ip_idx,
+      strand_idx,
+      ccs_idx,
+      ccs_bq_idx,
+      sn_idx,
+  ) = configs.get_indices(params.max_passes, params.use_ccs_bq)
+  x = rows[..., 0]
+  B, _, L = x.shape
+  p = np.zeros(B, np.int64)
+  p[: len(num_passes)] = np.minimum(
+      np.asarray(num_passes, np.int64), params.max_passes
+  )
+  total = int(p.sum())
+  # (window, subread-row) coordinates of every real row, batch-major.
+  win = np.repeat(np.arange(B), p)
+  row = np.arange(total) - np.repeat(np.cumsum(p) - p, p)
+
+  cap = ragged_flat_capacity(total + 1, B, params.max_passes)
+  lp = (L + 1) // 2
+  flat_bases = np.zeros((cap, lp), np.uint8)
+  flat_bases[1 : total + 1] = pack_nibbles(
+      x[win, base_idx[0] + row].astype(np.uint8)
+  )
+  flat_pw = np.zeros((cap, L), np.uint8)
+  flat_pw[1 : total + 1] = x[win, pw_idx[0] + row].astype(np.uint8)
+  flat_ip = np.zeros((cap, L), np.uint8)
+  flat_ip[1 : total + 1] = x[win, ip_idx[0] + row].astype(np.uint8)
+  row_index = np.zeros((B, params.max_passes), np.int32)
+  row_index[win, row] = 1 + np.arange(total, dtype=np.int32)
+
+  out = {
+      'flat_bases': flat_bases,
+      'flat_pw': flat_pw,
+      'flat_ip': flat_ip,
+      'row_index': row_index,
+      'strand': x[:, strand_idx[0] : strand_idx[0] + params.max_passes, 0]
+      .astype(np.uint8),
+      'ccs': pack_nibbles(x[:, ccs_idx[0]].astype(np.uint8)),
+      'sn': x[:, slice(*sn_idx), 0].astype(np.uint16),
+  }
+  if params.use_ccs_bq:
+    out['ccs_bq'] = x[:, ccs_bq_idx[0]].astype(np.int16)
+  return out
+
+
 def compact_from_rows(
     rows: np.ndarray, params, pass_limit: Optional[int] = None
 ) -> Dict[str, np.ndarray]:

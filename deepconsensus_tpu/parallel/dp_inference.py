@@ -76,7 +76,12 @@ class ShardedModelRunner:
         out_shardings=(shard, shard),
     )
 
-  def predict_async(self, rows: np.ndarray, pass_limit=None):
+  def predict_async(self, rows: np.ndarray, pass_limit=None,
+                    num_passes=None):
+    # num_passes accepted for ModelRunner API compat; the sharded runner
+    # keeps the bucketed compact transport (flat ragged arrays have no
+    # natural batch-axis sharding).
+    del num_passes
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size, multiple=self.mesh.devices.size)
     compact = data.compact_from_rows(padded, self.params, pass_limit)

@@ -1,0 +1,118 @@
+"""Ragged minimum-byte transport: encoding round trip + forward parity.
+
+The ragged transport (models/data.ragged_from_rows + the device-side
+gather/unpack in engine.ModelRunner) must be bit-identical to the dense
+rows path. Round-trip is checked in numpy; forward parity on real golden
+examples through the full runner.
+"""
+
+import glob
+
+import numpy as np
+import pytest
+
+from tests.conftest import HUMAN_1M
+
+from deepconsensus_tpu.inference import engine
+from deepconsensus_tpu.io import example_pb, tfrecord
+from deepconsensus_tpu.models import configs, data
+
+
+def _params():
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  return params
+
+
+def _golden_batch(params, n=48):
+  path = sorted(glob.glob(
+      f'{HUMAN_1M}/tf_examples/train/*.tfrecord*'
+  ))[0]
+  rows, passes = [], []
+  for raw in tfrecord.read_tfrecords(path):
+    feats = example_pb.decode_example(raw)
+    shape = [int(x) for x in feats['subreads/shape'][1]]
+    dense = np.frombuffer(
+        feats['subreads/encoded'][1][0], np.float32
+    ).reshape(shape)
+    rows.append(data.format_rows(dense, params)[None])
+    passes.append(int(feats['subreads/num_passes'][1][0]))
+    if len(rows) >= n:
+      break
+  return np.concatenate(rows), passes
+
+
+def test_pack_nibbles_round_trip():
+  rng = np.random.default_rng(0)
+  for L in (100, 99, 1):
+    x = rng.integers(0, 5, size=(7, L)).astype(np.uint8)
+    packed = data.pack_nibbles(x)
+    assert packed.shape == (7, (L + 1) // 2)
+    lo = packed & 0xF
+    hi = packed >> 4
+    un = np.stack([lo, hi], axis=-1).reshape(7, -1)[:, :L]
+    np.testing.assert_array_equal(un, x)
+
+
+def test_ragged_round_trip_equals_compact():
+  params = _params()
+  rows, passes = _golden_batch(params, n=32)
+  ragged = data.ragged_from_rows(rows, passes, params)
+  compact = data.compact_from_rows(rows, params)  # full max_passes
+
+  idx = ragged['row_index']
+  P, L = params.max_passes, params.max_length
+  # numpy mirror of the device decode
+  packed = ragged['flat_bases'][idx]
+  bases = np.stack([packed & 0xF, packed >> 4], axis=-1).reshape(
+      idx.shape[0], P, -1
+  )[..., :L]
+  np.testing.assert_array_equal(bases, compact['bases'])
+  np.testing.assert_array_equal(ragged['flat_pw'][idx], compact['pw'])
+  np.testing.assert_array_equal(ragged['flat_ip'][idx], compact['ip'])
+  np.testing.assert_array_equal(ragged['strand'], compact['strand'])
+  ccs_packed = ragged['ccs']
+  ccs = np.stack([ccs_packed & 0xF, ccs_packed >> 4], axis=-1).reshape(
+      idx.shape[0], -1
+  )[:, :L]
+  np.testing.assert_array_equal(ccs, compact['ccs'])
+  np.testing.assert_array_equal(ragged['sn'], compact['sn'])
+  # Byte accounting: the ragged payload must be substantially smaller.
+  rb = sum(v.nbytes for v in ragged.values())
+  cb = sum(v.nbytes for v in compact.values())
+  assert rb < cb
+
+
+def test_ragged_flat_capacity_tiers():
+  assert data.ragged_flat_capacity(1, 256, 20) == 4 * 256 + 1
+  assert data.ragged_flat_capacity(4 * 256 + 1, 256, 20) == 4 * 256 + 1
+  assert data.ragged_flat_capacity(4 * 256 + 2, 256, 20) == 8 * 256 + 1
+  assert data.ragged_flat_capacity(19 * 256, 256, 20) == 20 * 256 + 1
+  # max_passes below the tier ladder caps the tiers
+  assert data.ragged_flat_capacity(5, 8, 2) == 2 * 8 + 1
+
+
+@pytest.mark.parametrize('fused', [False, True])
+def test_runner_ragged_forward_matches_bucketed(fused):
+  params = _params()
+  if fused:
+    with params.unlocked():
+      params.use_pallas_fused_encoder = True
+  rows, passes = _golden_batch(params, n=48)
+
+  from deepconsensus_tpu.models import model as model_lib
+  import jax
+
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  runner = engine.ModelRunner(params, jax.device_get(variables), 64)
+  assert runner.transport == 'ragged'
+
+  ids_r, maxp_r = runner.collect(
+      runner.predict_async(rows, num_passes=passes)
+  )
+  ids_b, maxp_b = runner.collect(
+      runner.predict_async(rows, pass_limit=None)
+  )
+  np.testing.assert_array_equal(ids_r, ids_b)
+  np.testing.assert_array_equal(maxp_r, maxp_b)
