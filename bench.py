@@ -144,20 +144,28 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
             done_zmws / (time.time() - t_start),
         )
 
-    for r in range(n_rounds):
-      inputs = read_shard_inputs()
-      feats, n_ex, n_sub = engine.featurize_round(
-          inputs, str(start_round + r), stats, timing
-      )
-      in_flight.append(
-          dispatcher.submit(
-              feats, runner, options, str(start_round + r), n_ex, n_sub
-          )
-      )
-      while len(in_flight) > lookahead:
+    # Ingest of round k+1 runs on a thread while round k featurizes
+    # (mirrors engine.run_inference's threaded feeder).
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(1) as ingest_ex:
+      nxt = ingest_ex.submit(read_shard_inputs)
+      for r in range(n_rounds):
+        inputs = nxt.result()
+        if r + 1 < n_rounds:
+          nxt = ingest_ex.submit(read_shard_inputs)
+        feats, n_ex, n_sub = engine.featurize_round(
+            inputs, str(start_round + r), stats, timing
+        )
+        in_flight.append(
+            dispatcher.submit(
+                feats, runner, options, str(start_round + r), n_ex, n_sub
+            )
+        )
+        while len(in_flight) > lookahead:
+          finish_one()
+      while in_flight:
         finish_one()
-    while in_flight:
-      finish_one()
     return done_zmws
 
   shard_zmws = 10 * BIG_SHARD_COPIES

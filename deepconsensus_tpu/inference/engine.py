@@ -508,6 +508,37 @@ def enqueue_round(
   )
 
 
+def threaded_iter(gen, maxsize: int = 512):
+  """Runs a generator on a background thread with a bounded queue.
+
+  Overlaps BAM ingest (the feeder generator) with featurization and
+  dispatch on the consuming thread. Exceptions re-raise at the consumer.
+  """
+  import queue as queue_lib
+  import threading
+
+  q: 'queue_lib.Queue' = queue_lib.Queue(maxsize=maxsize)
+  done = object()
+
+  def run():
+    try:
+      for item in gen:
+        q.put(item)
+      q.put(done)
+    except BaseException as e:  # re-raised at the consumer
+      q.put(e)
+
+  t = threading.Thread(target=run, daemon=True)
+  t.start()
+  while True:
+    item = q.get()
+    if item is done:
+      break
+    if isinstance(item, BaseException):
+      raise item
+    yield item
+
+
 class AsyncDispatcher:
   """Runs enqueue_round on a dedicated thread.
 
@@ -833,7 +864,9 @@ def run_inference(
       )
     in_flight = state
 
-  for reads, zmw, cfg, split, window_widths in proc_feeder():
+  # Ingest runs on a background thread so BAM decode of the next ZMWs
+  # overlaps featurization/dispatch of the current round.
+  for reads, zmw, cfg, split, window_widths in threaded_iter(proc_feeder()):
     # --limit counts GLOBAL ZMW index (reference quick_inference.py:905-911)
     # so the union of per-host partials is exactly `limit` ZMWs regardless
     # of --num_hosts.

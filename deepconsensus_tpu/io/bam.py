@@ -193,6 +193,19 @@ class BamRecord:
     self._seq_bytes = None
     self._seq_packed = None
 
+  def set_seq_bytes(self, value: np.ndarray) -> None:
+    """Replaces the sequence from uint8 ASCII codes without a str round trip."""
+    self._seq_bytes = value
+    self._seq_str = None
+    self._seq_packed = None
+
+  def set_cigar_arrays(self, ops: np.ndarray, lens: np.ndarray) -> None:
+    """Replaces the cigar from (ops, lens) arrays without building tuples."""
+    self._cigar_raw = (
+        lens.astype(np.uint32) << 4 | ops.astype(np.uint32)
+    )
+    self._cigartuples = None
+
   # -- pysam-compatible conveniences -------------------------------------
   @property
   def is_unmapped(self) -> bool:

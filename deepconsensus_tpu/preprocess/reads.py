@@ -231,10 +231,8 @@ def trim_insertions(
   for i in np.where(drop)[0]:
     mask[qstarts[i] : qstarts[i] + lens[i]] = False
 
-  record.seq = record.seq_bytes[mask].tobytes().decode('ascii')
-  record.cigartuples = [
-      (int(op), int(l)) for op, l, d in zip(ops, lens, drop) if not d
-  ]
+  record.set_seq_bytes(record.seq_bytes[mask])
+  record.set_cigar_arrays(ops[~drop], lens[~drop])
 
   for tag in ('pw', 'ip'):
     if record.has_tag(tag):
