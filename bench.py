@@ -121,6 +121,7 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
   )
 
   dispatcher = engine.AsyncDispatcher()
+  clips = engine.clip_maxima(params)
 
   def run_stream(n_rounds, start_round, t_start=None):
     """Streams n_rounds through the engine with bounded lookahead.
@@ -154,12 +155,13 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
         inputs = nxt.result()
         if r + 1 < n_rounds:
           nxt = ingest_ex.submit(read_shard_inputs)
-        feats, n_ex, n_sub = engine.featurize_round(
-            inputs, str(start_round + r), stats, timing
+        feats, n_ex, n_sub = engine.featurize_round_blocks(
+            inputs, str(start_round + r), stats, timing, clips
         )
         in_flight.append(
             dispatcher.submit(
-                feats, runner, options, str(start_round + r), n_ex, n_sub
+                engine.enqueue_round_blocks, feats, runner, options,
+                str(start_round + r), n_ex, n_sub,
             )
         )
         while len(in_flight) > lookahead:

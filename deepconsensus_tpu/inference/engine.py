@@ -244,6 +244,16 @@ class ModelRunner:
         break
     return out, n
 
+  def predict_ragged_async(self, ragged: Dict[str, np.ndarray], n: int):
+    """Enqueues a prebuilt ragged transport batch (block featurize path)."""
+    out = self._forward_ragged(self.variables, ragged)
+    for arr in out:
+      try:
+        arr.copy_to_host_async()
+      except (AttributeError, RuntimeError):
+        break
+    return out, n
+
   def collect(self, handle_n) -> Tuple[np.ndarray, np.ndarray]:
     (ids, maxp), n = handle_n
     ids, maxp = jax.device_get((ids, maxp))
@@ -351,6 +361,153 @@ def process_skipped_window(
       np_num_passes=feature_dict['np_num_passes'],
       rq=feature_dict['rq'],
       rg=feature_dict['rg'],
+  )
+
+
+def clip_maxima(params) -> Tuple[Any, Any, Any]:
+  """(pw_max, ip_max, sn_max) for the transport featurizer; None = no clip."""
+  return (
+      params.PW_MAX or None,
+      params.IP_MAX or None,
+      params.SN_MAX or None,
+  )
+
+
+def preprocess_one_zmw_block(one_zmw, clips=(255, 255, 500)):
+  """Featurizes one ZMW straight into transport layout (pool worker entry)."""
+  reads, zmw, dc_config, window_widths = one_zmw
+  assert window_widths is None, 'smart windows use the feature-dict path'
+  return windows.zmw_window_block(reads, zmw, dc_config, *clips)
+
+
+def featurize_round_blocks(
+    inputs, batch_name, stats_counter, timing, clips, pool=None
+):
+  """featurize_round in transport layout: returns WindowBlocks per ZMW."""
+  before = time.time()
+  if pool is None:
+    outputs = [preprocess_one_zmw_block(z, clips) for z in inputs]
+  else:
+    import functools
+
+    outputs = list(
+        pool.map(functools.partial(preprocess_one_zmw_block, clips=clips),
+                 inputs)
+    )
+  blocks, counters = zip(*outputs)
+  for c in counters:
+    stats_counter.update(c)
+  n_examples = sum(b.n_windows for b in blocks)
+  n_subreads = sum(len(reads) for reads, *_ in inputs)
+  timing.log('preprocess', batch_name, before, n_examples, n_subreads,
+             len(inputs))
+  return blocks, n_examples, n_subreads
+
+
+def _skipped_output_from_block(
+    block, i: int, options: InferenceOptions
+) -> stitch.DCModelOutput:
+  """process_skipped_window from WindowBlock arrays (same op sequence)."""
+  ccs_seq = phred.encoded_sequence_to_string(block.ccs[i].astype(np.int64))
+  qs = block.bq[i]
+  if options.ccs_calibration_values.enabled:
+    qs = calibration_lib.calibrate_quality_scores(
+        qs, options.ccs_calibration_values
+    )
+  qs = np.minimum(qs, options.max_base_quality).astype(np.int32)
+  return stitch.DCModelOutput(
+      window_pos=int(block.window_pos[i]),
+      molecule_name=block.name,
+      sequence=ccs_seq,
+      quality_string=phred.quality_scores_to_string(qs),
+      ec=block.ec,
+      np_num_passes=block.np_num_passes,
+      rq=block.rq,
+      rg=block.rg,
+  )
+
+
+def enqueue_round_blocks(
+    blocks,
+    runner: 'ModelRunner',
+    options: InferenceOptions,
+    batch_name: str,
+    n_examples: int,
+    n_subreads: int,
+) -> '_RoundState':
+  """Triage + ragged dispatch straight from WindowBlocks.
+
+  The dense f32 tiles never exist: triage is a vectorized avg-phred over
+  each block's quality rows, skipped windows read their CCS row from the
+  block, and model windows stream into RaggedBatchBuilder as array views.
+  Window order (and so output order) matches the feature-dict path exactly.
+  """
+  params = runner.params
+  skipped: List[stitch.DCModelOutput] = []
+  batches: List[Dict[str, Any]] = []
+  handles: List[Any] = []
+  meta_keys = ('window_pos', 'name', 'ec', 'np_num_passes', 'rq', 'rg')
+  builder = data.RaggedBatchBuilder(params, options.batch_size)
+  meta: Dict[str, List[Any]] = {k: [] for k in meta_keys}
+
+  def flush():
+    nonlocal builder, meta
+    if not builder.n:
+      return
+    transport = builder.build()
+    batches.append(meta)
+    handles.append(runner.predict_ragged_async(transport, builder.n))
+    builder = data.RaggedBatchBuilder(params, options.batch_size)
+    meta = {k: [] for k in meta_keys}
+
+  for block in blocks:
+    nw = block.n_windows
+    if not nw:
+      continue
+    if options.skip_windows_above:
+      skip = phred.avg_phred_rows(block.bq) > options.skip_windows_above
+    else:
+      skip = np.zeros(nw, bool)
+    if skip.any():
+      for i in np.nonzero(skip)[0]:
+        skipped.append(_skipped_output_from_block(block, int(i), options))
+      keep = np.nonzero(~skip)[0]
+      if not keep.size:
+        continue
+      breaks = np.nonzero(np.diff(keep) > 1)[0]
+      starts = np.concatenate([[0], breaks + 1])
+      ends = np.concatenate([breaks, [keep.size - 1]])
+      runs = [(int(keep[s]), int(keep[e]) + 1) for s, e in zip(starts, ends)]
+    else:
+      runs = [(0, nw)]
+    for i0, i1 in runs:
+      while i0 < i1:
+        take = min(builder.room, i1 - i0)
+        builder.add_segment(block, i0, i0 + take)
+        meta['window_pos'].extend(
+            int(x) for x in block.window_pos[i0 : i0 + take]
+        )
+        for key, val in (
+            ('name', block.name),
+            ('ec', block.ec),
+            ('np_num_passes', block.np_num_passes),
+            ('rq', block.rq),
+            ('rg', block.rg),
+        ):
+          meta[key].extend([val] * take)
+        i0 += take
+        if not builder.room:
+          flush()
+  flush()
+  return _RoundState(
+      batch_name=batch_name,
+      batches=batches,
+      handles=handles,
+      skipped_predictions=skipped,
+      n_examples=n_examples,
+      n_subreads=n_subreads,
+      num_zmws=len(blocks),
+      enqueued_at=time.time(),
   )
 
 
@@ -552,9 +709,9 @@ class AsyncDispatcher:
   def __init__(self):
     self._ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
-  def submit(self, *args, **kwargs):
-    """enqueue_round(*args) off-thread; returns a Future[_RoundState]."""
-    return self._ex.submit(enqueue_round, *args, **kwargs)
+  def submit(self, fn, *args, **kwargs):
+    """Runs fn(*args) (an enqueue_round variant) off-thread -> Future."""
+    return self._ex.submit(fn, *args, **kwargs)
 
   def shutdown(self):
     self._ex.shutdown(wait=True)
@@ -842,6 +999,18 @@ def run_inference(
   dispatcher = AsyncDispatcher()
   in_flight = None  # Optional[Future[_RoundState]]
 
+  # The transport-native block path: featurize straight into the uint8
+  # ragged transport (no f32 tiles). Applies to single-runner ragged
+  # transport with fixed-width windows; smart windows, sharded runners,
+  # and debug stages keep the feature-dict path.
+  use_blocks = (
+      end_after_stage == 'full'
+      and runner is not None
+      and getattr(runner, 'transport', 'compact') == 'ragged'
+      and not use_ccs_smart_windows
+  )
+  clips = clip_maxima(params)
+
   def process_round(round_inputs, name):
     nonlocal in_flight
     if end_after_stage != 'full':
@@ -851,11 +1020,26 @@ def run_inference(
           end_after_stage=end_after_stage,
       )
       return
+    if use_blocks:
+      feats, n_examples, n_subreads = featurize_round_blocks(
+          round_inputs, name, stats_counter, timing, clips, pool
+      )
+      state = dispatcher.submit(
+          enqueue_round_blocks, feats, runner, options, name, n_examples,
+          n_subreads,
+      )
+      if in_flight is not None:
+        finish_round(
+            in_flight.result(), runner, output_writer, options,
+            outcome_counter, timing,
+        )
+      in_flight = state
+      return
     feats, n_examples, n_subreads = featurize_round(
         round_inputs, name, stats_counter, timing, pool
     )
     state = dispatcher.submit(
-        feats, runner, options, name, n_examples, n_subreads
+        enqueue_round, feats, runner, options, name, n_examples, n_subreads
     )
     if in_flight is not None:
       finish_round(

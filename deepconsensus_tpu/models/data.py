@@ -325,6 +325,94 @@ def ragged_from_rows(
   return out
 
 
+class RaggedBatchBuilder:
+  """Assembles one ragged transport batch from per-ZMW window segments.
+
+  The transport-native featurization path: WindowBlock segments (already
+  uint8, window-major) are appended until the batch is full, then build()
+  emits exactly the dict ragged_from_rows would produce from the dense f32
+  tiles of the same windows — same shapes (so the jitted forward is shared
+  between both paths) and same bytes (tested in tests/test_window_block.py).
+  """
+
+  def __init__(self, params, batch_size: int):
+    self.params = params
+    self.batch_size = batch_size
+    self._segments: List[Any] = []
+    self.n = 0  # windows added so far
+
+  @property
+  def room(self) -> int:
+    return self.batch_size - self.n
+
+  def add_segment(self, block, i0: int, i1: int) -> None:
+    """Appends windows [i0:i1) of a WindowBlock (views, no copies)."""
+    if i1 <= i0:
+      return
+    self._segments.append((block, i0, i1))
+    self.n += i1 - i0
+
+  def build(self) -> Dict[str, np.ndarray]:
+    params = self.params
+    L = int(params.max_length)
+    max_passes = int(params.max_passes)
+    B = self.n
+    bpad = padded_size(B, self.batch_size)
+    p = np.zeros(bpad, np.int64)
+    w0 = 0
+    for block, i0, i1 in self._segments:
+      p[w0 : w0 + (i1 - i0)] = min(block.num_passes, max_passes)
+      w0 += i1 - i0
+    total = int(p.sum())
+    cap = ragged_flat_capacity(total + 1, bpad, max_passes)
+
+    lp = (L + 1) // 2
+    flat_bases = np.zeros((cap, lp), np.uint8)
+    flat_pw = np.zeros((cap, L), np.uint8)
+    flat_ip = np.zeros((cap, L), np.uint8)
+    row_index = np.zeros((bpad, max_passes), np.int32)
+    strand = np.zeros((bpad, max_passes), np.uint8)
+    sn = np.zeros((bpad, 4), np.uint16)
+    ccs_ids = np.zeros((bpad, L), np.uint8)
+    use_bq = bool(params.use_ccs_bq)
+    ccs_bq = np.zeros((bpad, L), np.int16) if use_bq else None
+
+    w0 = 0
+    ofs = 0  # real rows filled so far (flat row 0 is the zeros sentinel)
+    for block, i0, i1 in self._segments:
+      nw = i1 - i0
+      k = min(block.num_passes, max_passes)
+      cnt = nw * k
+      flat_bases[1 + ofs : 1 + ofs + cnt] = pack_nibbles(
+          block.bases[i0:i1, :k].reshape(cnt, L)
+      )
+      flat_pw[1 + ofs : 1 + ofs + cnt] = block.pw[i0:i1, :k].reshape(cnt, L)
+      flat_ip[1 + ofs : 1 + ofs + cnt] = block.ip[i0:i1, :k].reshape(cnt, L)
+      row_index[w0 : w0 + nw, :k] = (
+          1 + ofs + np.arange(cnt, dtype=np.int32)
+      ).reshape(nw, k)
+      strand[w0 : w0 + nw, :k] = block.strand[None, :k]
+      sn[w0 : w0 + nw] = block.sn[None, :]
+      ccs_ids[w0 : w0 + nw] = block.ccs[i0:i1]
+      if use_bq:
+        ccs_bq[w0 : w0 + nw] = block.bq[i0:i1].astype(np.int16)
+      w0 += nw
+      ofs += cnt
+
+    out = {
+        'flat_bases': flat_bases,
+        'flat_pw': flat_pw,
+        'flat_ip': flat_ip,
+        'row_index': row_index,
+        'strand': strand,
+        'ccs': pack_nibbles(ccs_ids),
+        'sn': sn,
+    }
+    if use_bq:
+      out['ccs_bq'] = ccs_bq
+    return out
+
+
 def compact_from_rows(
     rows: np.ndarray, params, pass_limit: Optional[int] = None
 ) -> Dict[str, np.ndarray]:

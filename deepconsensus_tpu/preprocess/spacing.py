@@ -46,24 +46,107 @@ from deepconsensus_tpu.preprocess.reads import (
 )
 
 
-def _insertion_geometry(
-    cigar: np.ndarray,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
-  """Returns (is_ins, m_of_pos, junction_of_ins, rank_of_ins, n_match).
+def spaced_columns(
+    reads: List[AlignedRead],
+) -> Tuple[List[np.ndarray], List[int], int]:
+  """Spaced output-column assignment per read position.
 
-  m_of_pos[p] = number of non-insertion positions strictly before p (for a
-  non-insertion position, its match index; for an insertion, its junction).
+  The geometry core of space_out_subreads, computed in one pass over the
+  concatenation of all reads' cigars (segment-aware prefix sums instead of
+  a per-read Python loop). Returns (cols, finals, max_len): cols[i][p] is
+  the spaced column of read i's position p, finals[i] the read's final
+  cursor (== its spaced length in the reference simulation), max_len the
+  common spaced width.
   """
-  is_ins = cigar == constants.CINS
+  n = len(reads)
+  lens = np.array([len(r.cigar) for r in reads], dtype=np.int32)
+  offs = np.zeros(n + 1, dtype=np.int32)
+  np.cumsum(lens, out=offs[1:])
+  total = int(offs[-1])
+  if total == 0:
+    return [np.empty(0, np.int64)] * n, [0] * n, 0
+  cig = np.concatenate([r.cigar for r in reads])
+  rid = np.repeat(np.arange(n, dtype=np.int32), lens)
+  lab = np.array([r.is_label for r in reads], dtype=bool)
+
+  is_ins = cig == constants.CINS
   not_ins = ~is_ins
-  m_of_pos = np.cumsum(not_ins) - not_ins  # exclusive prefix count
-  n_match = int(not_ins.sum())
-  junction_of_ins = m_of_pos[is_ins]
-  # Rank within each consecutive insertion run.
-  c = np.cumsum(is_ins)
-  last_nonins_c = np.maximum.accumulate(np.where(not_ins, c, 0))
-  rank = (c - last_nonins_c - 1)[is_ins]
-  return is_ins, m_of_pos, junction_of_ins, rank, n_match
+  # Exclusive per-read count of non-insertion positions (match index of a
+  # non-insertion / junction of an insertion).
+  cum0 = np.zeros(total + 1, dtype=np.int32)
+  np.cumsum(not_ins, out=cum0[1:])
+  m_of_pos = cum0[:-1] - cum0[offs[:-1]][rid]  # exclusive within read
+  n_match = cum0[offs[1:]] - cum0[offs[:-1]]
+  max_match = int(n_match.max()) if n else 0
+  nj = max_match + 1
+
+  pos_ins = np.nonzero(is_ins)[0].astype(np.int32)
+  n_ins = len(pos_ins)
+  col = np.empty(total, dtype=np.int32)
+  if n_ins == 0:
+    # No insertions anywhere: every column is its match index.
+    col[:] = m_of_pos
+    J = S = None
+  else:
+    j = m_of_pos[pos_ins]  # junction of each insertion
+    # Insertions at the same (read, junction) are one consecutive cigar
+    # run, so per-junction counts and in-run ranks both come from run
+    # boundaries over the insertion-only arrays — no full-length scans.
+    ii = np.arange(n_ins, dtype=np.int32)
+    start = np.empty(n_ins, dtype=bool)
+    start[0] = True
+    np.not_equal(np.diff(pos_ins), 1, out=start[1:])
+    start[1:] |= rid[pos_ins[1:]] != rid[pos_ins[:-1]]
+    run_starts = ii[start]
+    run_lens = np.diff(np.append(run_starts, np.int32(n_ins)))
+    rank = ii - np.repeat(run_starts, run_lens)
+
+    # J[j]: max insertions at junction j over non-label reads; S its
+    # prefix sums.
+    J = np.zeros(nj, dtype=np.int32)
+    run_j = j[run_starts]
+    if lab.any():
+      keep = ~lab[rid[pos_ins[run_starts]]]
+      np.maximum.at(J, run_j[keep], run_lens[keep])
+    else:
+      np.maximum.at(J, run_j, run_lens)
+    S = np.cumsum(J, dtype=np.int32)
+
+    # col(match m) = S[m] + m; col(ins j, k) = S[j] - J[j] + j + k.
+    col_match = S + np.arange(nj, dtype=np.int32)  # lookup tables
+    col_ins0 = col_match - J
+    col[:] = col_match[m_of_pos]  # ins positions overwritten below
+    # Label insertions are all consumed at the start of the junction's
+    # first global iteration; their columns advance only through the
+    # label-insertion offset LI(p) added below.
+    if lab.any():
+      rank = np.where(lab[rid[pos_ins]], 0, rank)
+    col[pos_ins] = col_ins0[j] + rank
+
+  cols: List[np.ndarray] = []
+  finals: List[int] = []
+  for i, r in enumerate(reads):
+    lo, hi = int(offs[i]), int(offs[i + 1])
+    if hi == lo:
+      cols.append(np.empty(0, dtype=np.int64))
+      finals.append(0)
+      continue
+    ci = col[lo:hi]
+    ins_i = is_ins[lo:hi]
+    if r.is_label:
+      li = np.cumsum(ins_i) - ins_i  # label insertions strictly before p
+      ci = ci + li
+      if ins_i[-1]:
+        # Label ends in insertions at junction n_match: the cursor then
+        # walks out the rest of that junction block before finishing.
+        finals.append(int(S[n_match[i]] + n_match[i] + int(ins_i.sum())))
+      else:
+        finals.append(int(ci[-1]) + 1)
+    else:
+      finals.append(int(ci[-1]) + 1)
+    cols.append(ci)
+
+  return cols, finals, max(finals, default=0)
 
 
 def space_out_subreads(reads: List[AlignedRead]) -> List[AlignedRead]:
@@ -74,58 +157,7 @@ def space_out_subreads(reads: List[AlignedRead]) -> List[AlignedRead]:
   CCS read, base_quality_scores; for labels, cigar/truth_idx) are spaced and
   right-padded to a common length.
   """
-  geoms = [_insertion_geometry(r.cigar) for r in reads]
-
-  # Junction insertion maxima over non-label reads.
-  max_match = max(
-      (g[4] for g, r in zip(geoms, reads) if not r.is_label), default=0
-  )
-  max_match = max(
-      max_match, max((g[4] for g in geoms), default=0)
-  )  # extend axis for long labels
-  J = np.zeros(max_match + 1, dtype=np.int64)
-  for r, (is_ins, _, junc, _, n_match) in zip(reads, geoms):
-    if r.is_label or not is_ins.any():
-      continue
-    counts = np.bincount(junc, minlength=max_match + 1)
-    np.maximum(J, counts, out=J)
-  S = np.cumsum(J)
-
-  cols: List[np.ndarray] = []
-  finals: List[int] = []
-  for r, (is_ins, m_of_pos, junc, rank, n_match) in zip(reads, geoms):
-    L = len(r.cigar)
-    if L == 0:
-      cols.append(np.empty(0, dtype=np.int64))
-      finals.append(0)
-      continue
-    col = np.empty(L, dtype=np.int64)
-    not_ins = ~is_ins
-    m = m_of_pos[not_ins]
-    col[not_ins] = S[m] + m
-    if is_ins.any():
-      if r.is_label:
-        # Label insertions are all consumed at the start of the junction's
-        # first global iteration; their columns advance only through the
-        # label-insertion offset LI(p) added below.
-        col[is_ins] = S[junc] - J[junc] + junc
-      else:
-        col[is_ins] = S[junc] - J[junc] + junc + rank
-    if r.is_label:
-      li = np.cumsum(is_ins) - is_ins  # label insertions strictly before p
-      col = col + li
-      if is_ins[-1]:
-        # Label ends in insertions at junction n_match: the cursor then
-        # walks out the rest of that junction block before finishing.
-        li_total = int(is_ins.sum())
-        finals.append(int(S[n_match] + n_match + li_total))
-      else:
-        finals.append(int(col[-1]) + 1)
-    else:
-      finals.append(int(col[-1]) + 1)
-    cols.append(col)
-
-  max_len = max(finals, default=0)
+  cols, _, max_len = spaced_columns(reads)
 
   spaced: List[AlignedRead] = []
   for r, col in zip(reads, cols):

@@ -9,7 +9,7 @@ instead of building per-window Python Read objects as the reference does.
 
 import collections
 import dataclasses
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -165,7 +165,13 @@ class ZmwStack:
     nongap = np.nonzero(self.ccs.bases != GAP_BYTE)[0]
     self.ccs_width = int(nongap[-1]) + 1 if nongap.size else 0
 
-    self._matrix = self._build_matrix()
+    self._matrix = None  # built lazily; the transport fast path skips it
+
+  @property
+  def matrix(self) -> np.ndarray:
+    if self._matrix is None:
+      self._matrix = self._build_matrix()
+    return self._matrix
 
   @property
   def n_subreads(self) -> int:
@@ -269,10 +275,10 @@ class ZmwStack:
 
       width = max(w, max_length)
       if w >= width and e <= self.width:
-        tile = self._matrix[:, s:e]
+        tile = self.matrix[:, s:e]
       else:
         tile = np.zeros((cfg.tensor_height, width), dtype=constants.NP_DATA_TYPE)
-        avail = self._matrix[:, s : min(e, self.width)]
+        avail = self.matrix[:, s : min(e, self.width)]
         tile[:, : avail.shape[1]] = avail
         # Constant rows (strand, sn) span the full padded width because the
         # reference repeats them after padding (pre_lib.py:707-742).
@@ -303,6 +309,173 @@ class ZmwStack:
           rg=self.ccs.rg,
           label=label_enc,
       )
+
+
+@dataclasses.dataclass
+class WindowBlock:
+  """All of one ZMW's windows in device-transport (integer) layout.
+
+  The inference fast path: featurization goes straight from the spaced
+  reads to the integer arrays the ragged transport ships, never
+  materializing the (tensor_height, width, 1) float32 tiles of the
+  tf.Example contract. Values are small integers that the float32 tiles
+  represent exactly, so casting back and forth is bit-preserving — the
+  transport built from a block equals the one built from the dense tiles
+  (tested in tests/test_window_block.py).
+  """
+
+  name: str
+  num_passes: int  # keep_subreads (the per-window num_passes of every window)
+  strand: np.ndarray  # (num_passes,) uint8
+  sn: np.ndarray  # (4,) uint16, clipped to SN_MAX
+  ec: Optional[float]
+  np_num_passes: Optional[int]
+  rq: Optional[float]
+  rg: Optional[str]
+  window_pos: np.ndarray  # (nw,) int64
+  bases: np.ndarray  # (nw, num_passes, L) uint8 vocab ids
+  pw: np.ndarray  # (nw, num_passes, L) uint8, clipped to PW_MAX
+  ip: np.ndarray  # (nw, num_passes, L) uint8, clipped to IP_MAX
+  ccs: np.ndarray  # (nw, L) uint8 vocab ids
+  bq: np.ndarray  # (nw, L) int64 CCS base qualities, -1 pad
+
+  @property
+  def n_windows(self) -> int:
+    return len(self.window_pos)
+
+
+def _clipped_sn(sn, sn_max: Optional[int]) -> np.ndarray:
+  """SN values through the dense path's dtype chain: f64 -> f32 -> clip -> u16."""
+  vals = np.asarray(sn, np.float64).astype(np.float32)
+  if sn_max:
+    vals = np.clip(vals, 0, sn_max)
+  return vals.astype(np.uint16)
+
+
+def _pad_cols(values: np.ndarray, width: int, fill) -> np.ndarray:
+  """Right-pads the last axis of `values` to `width` with `fill`."""
+  out = np.full(values.shape[:-1] + (width,), fill, dtype=values.dtype)
+  m = min(values.shape[-1], width)
+  out[..., :m] = values[..., :m]
+  return out
+
+
+def zmw_window_block(
+    reads: List[AlignedRead],
+    name: str,
+    cfg: DcConfig,
+    pw_max: Optional[int] = 255,
+    ip_max: Optional[int] = 255,
+    sn_max: Optional[int] = 500,
+) -> Tuple[WindowBlock, 'collections.Counter']:
+  """Fused spacing + featurization: unspaced ZMW reads -> WindowBlock.
+
+  Fixed-width inference windows only (no smart windows / training labels —
+  those go through space_out_subreads + iter_windows). The spaced
+  AlignedReads are never materialized: spacing.spaced_columns assigns each
+  read position its output column and values scatter directly into the
+  transport arrays, whose zero/-1 init is exactly the spaced gap fill
+  (gap base == id 0, pw/ip 0, quality -1). Window selection, window_pos,
+  counters, and every array value match the legacy chain bit-for-bit
+  (tests/test_window_block.py).
+
+  (reference behavior: pre_lib.py:1242-1276 spacing + 652-762 windowing)
+  """
+  from deepconsensus_tpu.preprocess import spacing
+
+  counter = collections.Counter()
+  L = cfg.max_length
+  cols, _, _ = spacing.spaced_columns(reads)
+  subs, ccs = reads[:-1], reads[-1]
+  ccs_col = cols[-1]
+  # Spaced width minus trailing gap columns (pre_lib.py:603-609): the last
+  # CCS base's column + 1 (CCS columns are monotonically increasing).
+  ccs_width = int(ccs_col[-1]) + 1 if ccs_col.size else 0
+  k = min(cfg.max_passes, len(subs))
+  subs = subs[:k]
+  meta = dict(
+      name=name,
+      num_passes=k,
+      strand=np.array([r.strand for r in subs], np.uint8),
+      sn=_clipped_sn(subs[0].sn, sn_max),
+      ec=ccs.ec,
+      np_num_passes=ccs.np_num_passes,
+      rq=ccs.rq,
+      rg=ccs.rg,
+  )
+  n_win = -(-ccs_width // L) if ccs_width else 0
+  if n_win == 0:
+    z = np.zeros
+    return WindowBlock(
+        window_pos=z(0, np.int64), bases=z((0, k, L), np.uint8),
+        pw=z((0, k, L), np.uint8), ip=z((0, k, L), np.uint8),
+        ccs=z((0, L), np.uint8), bq=z((0, L), np.int64), **meta,
+    ), counter
+  counter[f'example_width_bucket_{L}'] += n_win
+  W = n_win * L
+
+  bases = np.zeros((k, W), np.uint8)
+  pw = np.zeros((k, W), np.uint8)
+  ip = np.zeros((k, W), np.uint8)
+  for i, r in enumerate(subs):
+    c = cols[i]
+    msk = c < W  # columns past the last window are never featurized
+    if not msk.all():
+      c = c[msk]
+      bases[i, c] = constants.BASE_TO_ID[r.bases[msk]]
+      pw[i, c] = r.pw[msk]
+      ip[i, c] = r.ip[msk]
+    else:
+      bases[i, c] = constants.BASE_TO_ID[r.bases]
+      pw[i, c] = r.pw
+      ip[i, c] = r.ip
+  if pw_max is not None and pw_max < 255:
+    np.clip(pw, 0, pw_max, out=pw)
+  if ip_max is not None and ip_max < 255:
+    np.clip(ip, 0, ip_max, out=ip)
+
+  cmsk = ccs_col < W
+  cc = ccs_col[cmsk] if not cmsk.all() else ccs_col
+  ccs_ids = np.zeros(W, np.uint8)
+  ccs_ids[cc] = constants.BASE_TO_ID[ccs.bases[cmsk]]
+  ccs_ids = ccs_ids.reshape(n_win, L)
+  bq = np.full(W, -1, np.int64)
+  bq_src = ccs.base_quality_scores
+  if bq_src.size and bq_src.any():
+    bq[cc] = bq_src[cmsk]
+  elif bq_src.size:
+    # All-zero qualities: spacing leaves them unspaced (the reference's
+    # `if bq.any()` quirk), so the legacy path windows the raw array.
+    m2 = min(W, len(bq_src))
+    bq[:m2] = bq_src[:m2]
+  bq = bq.reshape(n_win, L)
+
+  ccs_idx = np.full(W, -1, np.int64)
+  ccs_idx[cc] = ccs.ccs_idx[cmsk]
+  ccs_idx = ccs_idx.reshape(n_win, L)
+  sentinel = np.iinfo(np.int64).max
+  window_pos = np.where(ccs_idx < 0, sentinel, ccs_idx).min(axis=1)
+  valid = window_pos != sentinel
+  n_valid = int(valid.sum())
+  counter['n_examples_no_ccs_idx'] += n_win - n_valid
+  counter['n_examples_skip_large_windows_keep'] += n_valid
+
+  def windowed(a: np.ndarray) -> np.ndarray:
+    # (k, W) -> (n_win, k, L), window-major rows (contiguous per window).
+    w = np.ascontiguousarray(a.reshape(k, n_win, L).transpose(1, 0, 2))
+    return w if n_valid == n_win else w[valid]
+
+  if n_valid != n_win:
+    window_pos, ccs_ids, bq = window_pos[valid], ccs_ids[valid], bq[valid]
+  return WindowBlock(
+      window_pos=window_pos,
+      bases=windowed(bases),
+      pw=windowed(pw),
+      ip=windowed(ip),
+      ccs=ccs_ids,
+      bq=bq,
+      **meta,
+  ), counter
 
 
 def subreads_to_zmw_stack(

@@ -50,6 +50,19 @@ def avg_phred(base_qualities: Union[np.ndarray, List[int]]) -> float:
   return -10 * np.log10(avg_prob)
 
 
+def avg_phred_rows(base_qualities: np.ndarray) -> np.ndarray:
+  """Row-wise avg_phred over a (n, L) quality block.
+
+  Deliberately per-row rather than one masked 2-D sum: numpy's pairwise
+  summation tree depends on element count, so summing with 0.0 fill for
+  masked positions differs from the scalar version's filtered sum in the
+  last ulp — enough to flip a threshold comparison in principle. Triage
+  decisions must be bit-identical across engine paths.
+  """
+  bq = np.asarray(base_qualities)
+  return np.array([avg_phred(row) for row in bq], dtype=np.float64)
+
+
 def left_shift_seq(seq: np.ndarray) -> np.ndarray:
   """Moves all gaps in an encoded sequence to the right end."""
   return np.concatenate(
