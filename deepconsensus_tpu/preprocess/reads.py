@@ -209,7 +209,7 @@ def trim_insertions(
   """
   if ins_trim <= 0:
     return record
-  ops = record.cigar_ops.astype(np.int64)
+  ops = record.cigar_ops
   lens = record.cigar_lens
   if ops.size == 0:
     return record
@@ -258,48 +258,58 @@ def expand_clip_indent(
   if ins_trim > 0:
     record = trim_insertions(record, ins_trim, counter)
 
-  ops = record.cigar_ops.astype(np.int64)
+  ops = record.cigar_ops
   lens = record.cigar_lens
   in_pair = _PAIR_OPS_QUERY[ops] | _PAIR_OPS_REF[ops]
-  pair_ops = np.repeat(ops[in_pair], lens[in_pair]).astype(np.uint8)
+  pair_ops = np.repeat(ops[in_pair], lens[in_pair])
   aln_len = len(pair_ops)
 
   consumes_q = _PAIR_OPS_QUERY[pair_ops]
   consumes_r = _PAIR_OPS_REF[pair_ops]
-
-  read_idx = np.full(aln_len, -1, dtype=np.int64)
-  read_idx[consumes_q] = np.arange(int(consumes_q.sum()))
-  ccs_idx = np.full(aln_len, -1, dtype=np.int64)
-  ccs_idx[consumes_r] = record.pos + np.arange(int(consumes_r.sum()))
-
-  new_seq = np.full(aln_len, GAP_BYTE, dtype=np.uint8)
-  new_seq[consumes_q] = record.seq_bytes
+  has_soft_clip = bool((pair_ops == constants.CSOFT_CLIP).any())
 
   strand = (
       constants.Strand.REVERSE if record.is_reverse else constants.Strand.FORWARD
   )
 
-  new_pw = np.zeros(aln_len, dtype=np.uint8)
-  new_ip = np.zeros(aln_len, dtype=np.uint8)
+  if not has_soft_clip and record.pos:
+    # Common case: allocate at the indented size once and fill the
+    # aligned region in place, instead of concatenating pad blocks later.
+    pad = record.pos
+    new_seq = np.full(pad + aln_len, GAP_BYTE, dtype=np.uint8)
+    new_cigar = np.full(pad + aln_len, constants.CREF_SKIP, dtype=np.uint8)
+    new_cigar[pad:] = pair_ops
+    new_pw = np.zeros(pad + aln_len, dtype=np.uint8)
+    new_ip = np.zeros(pad + aln_len, dtype=np.uint8)
+    ccs_idx = np.full(pad + aln_len, -1, dtype=np.int32)
+    body = slice(pad, None)
+  else:
+    pad = 0
+    new_seq = np.full(aln_len, GAP_BYTE, dtype=np.uint8)
+    new_cigar = pair_ops
+    new_pw = np.zeros(aln_len, dtype=np.uint8)
+    new_ip = np.zeros(aln_len, dtype=np.uint8)
+    ccs_idx = np.full(aln_len, -1, dtype=np.int32)
+    body = slice(None)
+
+  ccs_idx[body][consumes_r] = record.pos + np.arange(int(consumes_r.sum()))
+  new_seq[body][consumes_q] = record.seq_bytes
   if not truth_range:
     pw_vals = np.asarray(record.get_tag('pw'))
     ip_vals = np.asarray(record.get_tag('ip'))
     if strand == constants.Strand.REVERSE:
       pw_vals = pw_vals[::-1]
       ip_vals = ip_vals[::-1]
-    new_pw[consumes_q] = pw_vals.astype(np.uint8)
-    new_ip[consumes_q] = ip_vals.astype(np.uint8)
+    new_pw[body][consumes_q] = pw_vals.astype(np.uint8)
+    new_ip[body][consumes_q] = ip_vals.astype(np.uint8)
     sn = np.asarray(record.get_tag('sn'))
   else:
     sn = np.empty(0, dtype=np.uint8)
 
-  # Per-position cigar with hard clips removed; same length as the pair
-  # arrays because hard clips consume neither query nor reference.
-  new_cigar = pair_ops
-
   # Remove soft-clipped segments.
-  if int((new_cigar == constants.CSOFT_CLIP).sum()) > 0:
-    new_seq = new_seq.copy()
+  if has_soft_clip:
+    read_idx = np.full(aln_len, -1, dtype=np.int64)
+    read_idx[consumes_q] = np.arange(int(consumes_q.sum()))
     new_seq[new_cigar == constants.CSOFT_CLIP] = GAP_BYTE
     qstart = int(np.where(read_idx == record.query_alignment_start)[0][0])
     qend = int(np.where(read_idx == record.query_alignment_end - 1)[0][0]) + 1
@@ -316,8 +326,9 @@ def expand_clip_indent(
     new_cigar = new_cigar[qstart:qend]
     ccs_idx = ccs_idx[qstart:qend]
 
-  # Indent by alignment start so array index ~ CCS coordinate.
-  if record.pos:
+  # Indent by alignment start so array index ~ CCS coordinate (the
+  # soft-clip branch still pads by concatenation; it is rare).
+  if record.pos and not pad:
     pad = record.pos
     new_seq = np.concatenate([np.full(pad, GAP_BYTE, dtype=np.uint8), new_seq])
     new_cigar = np.concatenate(
@@ -325,7 +336,7 @@ def expand_clip_indent(
     )
     new_pw = np.concatenate([np.zeros(pad, dtype=np.uint8), new_pw])
     new_ip = np.concatenate([np.zeros(pad, dtype=np.uint8), new_ip])
-    ccs_idx = np.concatenate([np.full(pad, -1, dtype=np.int64), ccs_idx])
+    ccs_idx = np.concatenate([np.full(pad, -1, dtype=np.int32), ccs_idx])
 
   return AlignedRead(
       name=record.qname,
@@ -360,6 +371,6 @@ def construct_ccs_read(ccs_record: bam.BamRecord) -> AlignedRead:
       np_num_passes=tags.get('np'),
       rq=tags.get('rq'),
       rg=tags.get('RG'),
-      ccs_idx=np.arange(n, dtype=np.int64),
+      ccs_idx=np.arange(n, dtype=np.int32),
       base_quality_scores=np.asarray(ccs_record.qual, dtype=np.int64),
   )

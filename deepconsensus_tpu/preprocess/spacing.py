@@ -164,7 +164,7 @@ def space_out_subreads(reads: List[AlignedRead]) -> List[AlignedRead]:
     bases = np.full(max_len, GAP_BYTE, dtype=np.uint8)
     pw = np.zeros(max_len, dtype=np.uint8)
     ip = np.zeros(max_len, dtype=np.uint8)
-    ccs_idx = np.full(max_len, -1, dtype=np.int64)
+    ccs_idx = np.full(max_len, -1, dtype=np.int32)
     bases[col] = r.bases
     pw[col] = r.pw
     ip[col] = r.ip

@@ -450,10 +450,10 @@ def zmw_window_block(
     bq[:m2] = bq_src[:m2]
   bq = bq.reshape(n_win, L)
 
-  ccs_idx = np.full(W, -1, np.int64)
+  ccs_idx = np.full(W, -1, np.int32)
   ccs_idx[cc] = ccs.ccs_idx[cmsk]
   ccs_idx = ccs_idx.reshape(n_win, L)
-  sentinel = np.iinfo(np.int64).max
+  sentinel = np.iinfo(np.int32).max
   window_pos = np.where(ccs_idx < 0, sentinel, ccs_idx).min(axis=1)
   valid = window_pos != sentinel
   n_valid = int(valid.sum())
