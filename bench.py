@@ -176,6 +176,7 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
   n = run_stream(rounds, 1, t_start=t0)
   dt = time.time() - t0
   writer.close()
+  timing.save('/tmp/bench_out/stream.fastq.runtime.csv')  # stage diagnosis
   total = outcome.success + outcome.failed_quality_filter + outcome.only_gaps
   total += outcome.empty_sequence + outcome.failed_length_filter
   assert total == n + shard_zmws, (total, n)  # + the warmup round

@@ -62,6 +62,10 @@ def _add_run_parser(sub):
       '--precision', default=None, choices=['highest', 'float32', 'default'],
       help='jax matmul precision; "highest" for strict f32 reproduction.',
   )
+  p.add_argument(
+      '--lookahead', type=int, default=2,
+      help='ZMW rounds in flight on the device (pipeline depth).',
+  )
   return p
 
 
@@ -249,6 +253,7 @@ def main(argv=None) -> int:
         use_fused_encoder=args.use_fused_encoder,
         matmul_precision=None if args.precision in (None, 'default')
         else args.precision,
+        lookahead=args.lookahead,
     )
     return 0 if outcome.success else 1
 

@@ -912,6 +912,7 @@ def run_inference(
     use_pallas_attention: bool = False,
     use_fused_encoder: bool = False,
     matmul_precision: Optional[str] = None,
+    lookahead: int = 2,
 ) -> stitch.OutcomeCounter:
   """End-to-end inference run (reference: quick_inference.run, :794-963).
 
@@ -919,6 +920,9 @@ def run_inference(
   makes this process consume only its round-robin share of ZMWs (writing a
   partial output for deterministic merging). end_after_stage in
   DEBUG_STAGES stops each ZMW batch early for pipeline-prefix timing.
+  lookahead bounds how many ZMW rounds may be in flight on the device at
+  once (deeper pipelines absorb more tunnel-latency jitter at the cost of
+  holding more round state on the host).
   """
   if end_after_stage not in DEBUG_STAGES:
     raise ValueError(f'end_after_stage must be one of {DEBUG_STAGES}')
@@ -992,12 +996,13 @@ def run_inference(
   zmw_counter = 0
   zmw_index = 0
   batch_count = 0
-  # One-round lookahead: while the device computes round k, the host
-  # featurizes round k+1. Dispatch runs on the AsyncDispatcher thread so
-  # even when it blocks (H2D backpressure on a saturated link) the main
-  # thread keeps featurizing.
+  # Round lookahead: while the device computes rounds k..k+lookahead-1, the
+  # host featurizes the next one. Dispatch runs on the AsyncDispatcher
+  # thread so even when it blocks (H2D backpressure on a saturated link)
+  # the main thread keeps featurizing. Rounds finish strictly in order, so
+  # output is deterministic at any depth.
   dispatcher = AsyncDispatcher()
-  in_flight = None  # Optional[Future[_RoundState]]
+  in_flight: List[Any] = []  # Futures[_RoundState], oldest first
 
   # The transport-native block path: featurize straight into the uint8
   # ragged transport (no f32 tiles). Applies to single-runner ragged
@@ -1011,8 +1016,13 @@ def run_inference(
   )
   clips = clip_maxima(params)
 
+  def finish_oldest():
+    finish_round(
+        in_flight.pop(0).result(), runner, output_writer, options,
+        outcome_counter, timing,
+    )
+
   def process_round(round_inputs, name):
-    nonlocal in_flight
     if end_after_stage != 'full':
       inference_on_n_zmws(
           round_inputs, runner, output_writer, options, name,
@@ -1024,29 +1034,19 @@ def run_inference(
       feats, n_examples, n_subreads = featurize_round_blocks(
           round_inputs, name, stats_counter, timing, clips, pool
       )
-      state = dispatcher.submit(
+      in_flight.append(dispatcher.submit(
           enqueue_round_blocks, feats, runner, options, name, n_examples,
           n_subreads,
+      ))
+    else:
+      feats, n_examples, n_subreads = featurize_round(
+          round_inputs, name, stats_counter, timing, pool
       )
-      if in_flight is not None:
-        finish_round(
-            in_flight.result(), runner, output_writer, options,
-            outcome_counter, timing,
-        )
-      in_flight = state
-      return
-    feats, n_examples, n_subreads = featurize_round(
-        round_inputs, name, stats_counter, timing, pool
-    )
-    state = dispatcher.submit(
-        enqueue_round, feats, runner, options, name, n_examples, n_subreads
-    )
-    if in_flight is not None:
-      finish_round(
-          in_flight.result(), runner, output_writer, options,
-          outcome_counter, timing,
-      )
-    in_flight = state
+      in_flight.append(dispatcher.submit(
+          enqueue_round, feats, runner, options, name, n_examples, n_subreads
+      ))
+    while len(in_flight) > max(1, lookahead):
+      finish_oldest()
 
   # Ingest runs on a background thread so BAM decode of the next ZMWs
   # overlaps featurization/dispatch of the current round.
@@ -1073,11 +1073,8 @@ def run_inference(
       )
   if stored:
     process_round(stored, str(batch_count))
-  if in_flight is not None:
-    finish_round(
-        in_flight.result(), runner, output_writer, options, outcome_counter,
-        timing,
-    )
+  while in_flight:
+    finish_oldest()
   dispatcher.shutdown()
   if pool:
     pool.shutdown(wait=True)
