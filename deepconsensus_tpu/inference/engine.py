@@ -187,16 +187,44 @@ class ModelRunner:
       )
       return ids[..., :L]
 
+    def decode_nibble_escape(codes_packed, esc):
+      # Inverse of data.nibble_escape_encode: 4-bit codes, 15 = take the
+      # next value from the escape stream (flat row-major order). The
+      # escape index is a two-level prefix sum — per 4096-wide chunk plus
+      # chunk offsets — because a single giant 1-D cumsum lowers to a slow
+      # sequential scan on TPU (~67 ms at 4M elements vs ~2 ms this way).
+      codes = unpack_nibbles(codes_packed)
+      R, Lc = codes.shape
+      flat = codes.reshape(-1)
+      n = flat.shape[0]
+      chunk = 4096
+      pad = (-n) % chunk
+      flat_p = jnp.pad(flat, (0, pad)).reshape(-1, chunk)
+      mask = flat_p == jnp.uint8(data.PWIP_ESC_CODE)
+      within = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # inclusive
+      offs = jnp.cumsum(within[:, -1]) - within[:, -1]  # exclusive chunks
+      pos = within - 1 + offs[:, None]
+      esc_v = jnp.take(esc, jnp.clip(pos, 0, esc.shape[0] - 1))
+      out = jnp.where(mask, esc_v, flat_p)
+      return out.reshape(-1)[:n].reshape(R, Lc)
+
     def forward_ragged(variables, t):
       # Rebuild the (B, max_passes, L) padded feature layout on DEVICE
       # from the minimum-byte flat transport (data.ragged_from_rows): one
       # gather per feature; flat row 0 is the zeros sentinel, so padding
       # slots reconstruct exactly the all-zero rows of the dense layout.
+      # pw/ip arrive nibble+escape encoded (decoded before the row gather)
+      # unless the batch overflowed the escape capacity.
       idx = t['row_index']
+      if 'pw_codes' in t:
+        flat_pw = decode_nibble_escape(t['pw_codes'], t['pw_esc'])
+        flat_ip = decode_nibble_escape(t['ip_codes'], t['ip_esc'])
+      else:
+        flat_pw, flat_ip = t['flat_pw'], t['flat_ip']
       compact = {
           'bases': unpack_nibbles(jnp.take(t['flat_bases'], idx, axis=0)),
-          'pw': jnp.take(t['flat_pw'], idx, axis=0),
-          'ip': jnp.take(t['flat_ip'], idx, axis=0),
+          'pw': jnp.take(flat_pw, idx, axis=0),
+          'ip': jnp.take(flat_ip, idx, axis=0),
           'strand': t['strand'],
           'ccs': unpack_nibbles(t['ccs']),
           'sn': t['sn'],

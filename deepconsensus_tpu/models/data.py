@@ -236,8 +236,62 @@ def batch_feature_dicts(
 # Flat-array capacity tiers for the ragged transport, in units of
 # batch_size subread rows. Chosen so the padded flat size tracks the
 # batch's MEAN pass count (typical HiFi data: ~8-14 passes) while keeping
-# the number of distinct compiled shapes small.
-RAGGED_ROW_TIERS = (4, 8, 12, 16, 20)
+# the number of distinct compiled shapes small (the persistent compile
+# cache amortizes each tier to one compile ever).
+RAGGED_ROW_TIERS = (4, 6, 8, 10, 12, 14, 16, 18, 20)
+
+# pw/ip wire encoding: 4-bit codes (value, or 15 = escape) + a stream of
+# full uint8 values for escaped positions. ~78% of real HiFi pw/ip values
+# are < 15, so this roughly halves the dominant transport bytes. The
+# escape stream capacity is a fixed fraction of the flat array so each row
+# tier keeps a single compiled shape; batches whose escape rate exceeds it
+# (never observed on real data; measured ~22%) fall back to plain uint8.
+PWIP_ESC_FRAC = 0.30
+PWIP_ESC_CODE = 15
+
+
+def pwip_esc_capacity(cap_rows: int, length: int) -> int:
+  """Escape-stream capacity (values) for a flat array of cap_rows x length."""
+  cap = int(cap_rows * length * PWIP_ESC_FRAC)
+  return -(-cap // 512) * 512
+
+
+def nibble_escape_encode(
+    flat_vals: np.ndarray,
+) -> Optional[Dict[str, np.ndarray]]:
+  """Encodes a (cap_rows, L) uint8 array as 4-bit codes + escape stream.
+
+  Returns {'codes': (cap_rows, ceil(L/2)) uint8, 'esc': (esc_cap,) uint8}
+  or None when the escape stream would overflow its fixed capacity (the
+  caller then ships plain uint8). Decoding (device side:
+  engine.decode_nibble_escape; numpy oracle: nibble_escape_decode) is
+  exact for all uint8 inputs.
+  """
+  cap_rows, length = flat_vals.shape
+  esc_cap = pwip_esc_capacity(cap_rows, length)
+  mask = flat_vals >= PWIP_ESC_CODE
+  esc_vals = flat_vals[mask]  # row-major flat order
+  if len(esc_vals) > esc_cap:
+    return None
+  codes = np.where(mask, np.uint8(PWIP_ESC_CODE), flat_vals)
+  esc = np.zeros(esc_cap, np.uint8)
+  esc[: len(esc_vals)] = esc_vals
+  return {'codes': pack_nibbles(codes), 'esc': esc}
+
+
+def nibble_escape_decode(
+    codes_packed: np.ndarray, esc: np.ndarray, length: int
+) -> np.ndarray:
+  """numpy inverse of nibble_escape_encode (oracle for the device decode)."""
+  lo = codes_packed & np.uint8(0xF)
+  hi = codes_packed >> 4
+  codes = np.stack([lo, hi], axis=-1).reshape(codes_packed.shape[0], -1)
+  codes = codes[:, :length]
+  flat = codes.reshape(-1).astype(np.int64)
+  mask = flat == PWIP_ESC_CODE
+  idx = np.cumsum(mask) - 1
+  vals = np.where(mask, esc[np.clip(idx, 0, len(esc) - 1)], flat)
+  return vals.reshape(codes.shape).astype(np.uint8)
 
 
 def pack_nibbles(x: np.ndarray) -> np.ndarray:
@@ -311,10 +365,8 @@ def ragged_from_rows(
   row_index[win, row] = 1 + np.arange(total, dtype=np.int32)
 
   out = {
-      'flat_bases': flat_bases,
-      'flat_pw': flat_pw,
-      'flat_ip': flat_ip,
       'row_index': row_index,
+      'flat_bases': flat_bases,
       'strand': x[:, strand_idx[0] : strand_idx[0] + params.max_passes, 0]
       .astype(np.uint8),
       'ccs': pack_nibbles(x[:, ccs_idx[0]].astype(np.uint8)),
@@ -322,7 +374,28 @@ def ragged_from_rows(
   }
   if params.use_ccs_bq:
     out['ccs_bq'] = x[:, ccs_bq_idx[0]].astype(np.int16)
+  out.update(_encode_pwip(flat_pw, flat_ip))
   return out
+
+
+def _encode_pwip(
+    flat_pw: np.ndarray, flat_ip: np.ndarray
+) -> Dict[str, np.ndarray]:
+  """pw/ip wire encoding: nibble+escape, or plain uint8 on overflow.
+
+  Both features use the same scheme so each row tier has exactly two
+  possible transport signatures (encoded / fallback).
+  """
+  pw_enc = nibble_escape_encode(flat_pw)
+  ip_enc = nibble_escape_encode(flat_ip) if pw_enc is not None else None
+  if pw_enc is None or ip_enc is None:
+    return {'flat_pw': flat_pw, 'flat_ip': flat_ip}
+  return {
+      'pw_codes': pw_enc['codes'],
+      'pw_esc': pw_enc['esc'],
+      'ip_codes': ip_enc['codes'],
+      'ip_esc': ip_enc['esc'],
+  }
 
 
 class RaggedBatchBuilder:
@@ -401,8 +474,6 @@ class RaggedBatchBuilder:
 
     out = {
         'flat_bases': flat_bases,
-        'flat_pw': flat_pw,
-        'flat_ip': flat_ip,
         'row_index': row_index,
         'strand': strand,
         'ccs': pack_nibbles(ccs_ids),
@@ -410,6 +481,7 @@ class RaggedBatchBuilder:
     }
     if use_bq:
       out['ccs_bq'] = ccs_bq
+    out.update(_encode_pwip(flat_pw, flat_ip))
     return out
 
 

@@ -40,12 +40,11 @@ FFN_CHUNK = 512
 def _fused_layer_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, wo_ref, a_attn_ref,
     wf1_ref, bf1_ref, wf2_ref, bf2_ref, a_ffn_ref, o_ref,
-    *, win: Optional[int],
+    *, win: Optional[int], n_heads: int,
 ):
   x = x_ref[:]  # (BB, L, E)
   BB, L, E = x.shape
-  n_heads = wq_ref.shape[1]
-  head_dim = wq_ref.shape[2]
+  head_dim = wq_ref.shape[1] // n_heads  # weights pre-reshaped to (E, N*H)
   scale = head_dim**-0.5
 
   x2 = x.reshape(BB * L, E)
@@ -55,23 +54,36 @@ def _fused_layer_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     band = jnp.abs(row - col) <= win
+  # Q/K/V for all heads in one full-width matmul each (E -> N*H): with the
+  # production shape (2 heads of 140) a per-head matmul pads its 140-wide
+  # output to 256 MXU lanes (55% util) while the fused 280-wide output pads
+  # to 384 (73%), and there are 3 matmuls instead of 6. Weights arrive
+  # pre-reshaped to (E, N*H) — Mosaic rejects merging the minor axes of a
+  # loaded (E, N, H) value in-kernel.
+  wq2 = wq_ref[:]
+  wk2 = wk_ref[:]
+  wv2 = wv_ref[:]
+  q_all = (jax.lax.dot_general(
+      x2, wq2, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  ) * scale).reshape(BB, L, n_heads * head_dim)
+  k_all = jax.lax.dot_general(
+      x2, wk2, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  ).reshape(BB, L, n_heads * head_dim)
+  v_all = jax.lax.dot_general(
+      x2, wv2, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  ).reshape(BB, L, n_heads * head_dim)
   ctx_heads = []
   for h in range(n_heads):
-    q = jax.lax.dot_general(
-        x2, wq_ref[:, h, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(BB, L, head_dim) * scale
-    k = jax.lax.dot_general(
-        x2, wk_ref[:, h, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(BB, L, head_dim)
-    v = jax.lax.dot_general(
-        x2, wv_ref[:, h, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(BB, L, head_dim)
+    # Lane-axis slices of the already-reshaped activations (Mosaic
+    # supports reshaping a dot output, and slicing the minor axis; it
+    # rejects reshapes of sliced values and 4-D head layouts).
+    cols = slice(h * head_dim, (h + 1) * head_dim)
+    q = q_all[:, :, cols]
+    k = k_all[:, :, cols]
+    v = v_all[:, :, cols]
     logits = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -138,7 +150,8 @@ def fused_encoder_layer(
     return _xla_layer(
         x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn, win
     )
-  kernel = functools.partial(_fused_layer_kernel, win=win)
+  n_heads = wq.shape[1]
+  kernel = functools.partial(_fused_layer_kernel, win=win, n_heads=n_heads)
   any_space = getattr(pl, 'ANY', None) or pltpu.ANY
   ms = any_space if interpret else pltpu.VMEM
 
@@ -152,6 +165,11 @@ def fused_encoder_layer(
   a_ffn = jnp.asarray(alpha_ffn, jnp.float32).reshape(1, 1)
   bf1_2d = bf1.reshape(1, -1)
   bf2_2d = bf2.reshape(1, -1)
+  # (E, N, H) -> (E, N*H) outside the kernel (free in XLA; Mosaic rejects
+  # the minor-axis merge on a loaded value).
+  wq2 = wq.reshape(E, -1)
+  wk2 = wk.reshape(E, -1)
+  wv2 = wv.reshape(E, -1)
   grid = (B // block_b,)
   x_spec = pl.BlockSpec((block_b, L, E), lambda i: (i, 0, 0), memory_space=ms)
   return pl.pallas_call(
@@ -160,9 +178,9 @@ def fused_encoder_layer(
       grid=grid,
       in_specs=[
           x_spec,
-          fixed(wq.shape),
-          fixed(wk.shape),
-          fixed(wv.shape),
+          fixed(wq2.shape),
+          fixed(wk2.shape),
+          fixed(wv2.shape),
           fixed(wo.shape),
           fixed(a_attn.shape),
           fixed(wf1.shape),
@@ -173,7 +191,7 @@ def fused_encoder_layer(
       ],
       out_specs=x_spec,
       interpret=interpret,
-  )(x, wq, wk, wv, wo, a_attn, wf1, bf1_2d, wf2, bf2_2d, a_ffn)
+  )(x, wq2, wk2, wv2, wo, a_attn, wf1, bf1_2d, wf2, bf2_2d, a_ffn)
 
 
 def _on_tpu() -> bool:

@@ -68,8 +68,10 @@ def test_ragged_round_trip_equals_compact():
       idx.shape[0], P, -1
   )[..., :L]
   np.testing.assert_array_equal(bases, compact['bases'])
-  np.testing.assert_array_equal(ragged['flat_pw'][idx], compact['pw'])
-  np.testing.assert_array_equal(ragged['flat_ip'][idx], compact['ip'])
+  flat_pw = data.nibble_escape_decode(ragged['pw_codes'], ragged['pw_esc'], L)
+  flat_ip = data.nibble_escape_decode(ragged['ip_codes'], ragged['ip_esc'], L)
+  np.testing.assert_array_equal(flat_pw[idx], compact['pw'])
+  np.testing.assert_array_equal(flat_ip[idx], compact['ip'])
   np.testing.assert_array_equal(ragged['strand'], compact['strand'])
   ccs_packed = ragged['ccs']
   ccs = np.stack([ccs_packed & 0xF, ccs_packed >> 4], axis=-1).reshape(
@@ -86,7 +88,7 @@ def test_ragged_round_trip_equals_compact():
 def test_ragged_flat_capacity_tiers():
   assert data.ragged_flat_capacity(1, 256, 20) == 4 * 256 + 1
   assert data.ragged_flat_capacity(4 * 256 + 1, 256, 20) == 4 * 256 + 1
-  assert data.ragged_flat_capacity(4 * 256 + 2, 256, 20) == 8 * 256 + 1
+  assert data.ragged_flat_capacity(4 * 256 + 2, 256, 20) == 6 * 256 + 1
   assert data.ragged_flat_capacity(19 * 256, 256, 20) == 20 * 256 + 1
   # max_passes below the tier ladder caps the tiers
   assert data.ragged_flat_capacity(5, 8, 2) == 2 * 8 + 1
@@ -116,3 +118,31 @@ def test_runner_ragged_forward_matches_bucketed(fused):
   )
   np.testing.assert_array_equal(ids_r, ids_b)
   np.testing.assert_array_equal(maxp_r, maxp_b)
+
+
+def test_nibble_escape_round_trip():
+  rng = np.random.default_rng(7)
+  # Realistic skew: mostly small values, some escapes, full uint8 range.
+  vals = np.minimum(
+      rng.geometric(0.12, size=(300, 100)) - 1, 255
+  ).astype(np.uint8)
+  vals[0, :10] = [0, 14, 15, 16, 255, 15, 1, 200, 15, 15]
+  enc = data.nibble_escape_encode(vals)
+  assert enc is not None
+  dec = data.nibble_escape_decode(enc['codes'], enc['esc'], 100)
+  np.testing.assert_array_equal(dec, vals)
+  # Byte win on skewed data.
+  assert enc['codes'].nbytes + enc['esc'].nbytes < vals.nbytes
+
+
+def test_nibble_escape_overflow_falls_back():
+  vals = np.full((64, 100), 200, np.uint8)  # 100% escapes > PWIP_ESC_FRAC
+  assert data.nibble_escape_encode(vals) is None
+  # ragged_from_rows must then ship plain uint8 arrays.
+  params = _params()
+  rows = np.full(
+      (8, params.total_rows, params.max_length, 1), 0, np.float32
+  )
+  rows[:, params.max_passes : 2 * params.max_passes] = 200.0  # pw rows
+  ragged = data.ragged_from_rows(rows, [params.max_passes] * 8, params)
+  assert 'flat_pw' in ragged and 'pw_codes' not in ragged
