@@ -187,6 +187,16 @@ class ModelRunner:
       )
       return ids[..., :L]
 
+    def unpack_base3(packed):
+      # Inverse of data.pack_base3: (…, ceil(L/3)) uint8 -> (…, L) ids < 5.
+      v0 = packed % jnp.uint8(5)
+      v1 = (packed // jnp.uint8(5)) % jnp.uint8(5)
+      v2 = packed // jnp.uint8(25)
+      ids = jnp.stack([v0, v1, v2], axis=-1).reshape(
+          packed.shape[:-1] + (3 * packed.shape[-1],)
+      )
+      return ids[..., :L]
+
     def decode_nibble_escape(codes_packed, esc):
       # Inverse of data.nibble_escape_encode: 4-bit codes, 15 = take the
       # next value from the escape stream (flat row-major order). The
@@ -222,11 +232,11 @@ class ModelRunner:
       else:
         flat_pw, flat_ip = t['flat_pw'], t['flat_ip']
       compact = {
-          'bases': unpack_nibbles(jnp.take(t['flat_bases'], idx, axis=0)),
+          'bases': unpack_base3(jnp.take(t['flat_bases'], idx, axis=0)),
           'pw': jnp.take(flat_pw, idx, axis=0),
           'ip': jnp.take(flat_ip, idx, axis=0),
           'strand': t['strand'],
-          'ccs': unpack_nibbles(t['ccs']),
+          'ccs': unpack_base3(t['ccs']),
           'sn': t['sn'],
       }
       if 'ccs_bq' in t:

@@ -303,6 +303,35 @@ def pack_nibbles(x: np.ndarray) -> np.ndarray:
   return (x[..., 0::2] | (x[..., 1::2] << 4)).astype(np.uint8)
 
 
+def pack_base3(x: np.ndarray) -> np.ndarray:
+  """Packs base-vocab ids (< 5) three per byte (v0 + 5*v1 + 25*v2)."""
+  pad = (-x.shape[-1]) % 3
+  if pad:
+    x = np.concatenate(
+        [x, np.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+    )
+  xi = x.astype(np.uint16)
+  return (
+      xi[..., 0::3] + 5 * xi[..., 1::3] + 25 * xi[..., 2::3]
+  ).astype(np.uint8)
+
+
+def unpack_base3(packed: np.ndarray, length: int) -> np.ndarray:
+  """numpy inverse of pack_base3 (oracle for the device unpack)."""
+  v0 = packed % 5
+  v1 = (packed // 5) % 5
+  v2 = packed // 25
+  out = np.stack([v0, v1, v2], axis=-1).reshape(
+      packed.shape[:-1] + (3 * packed.shape[-1],)
+  )
+  return out[..., :length].astype(np.uint8)
+
+
+def row_index_dtype(cap: int):
+  """Smallest index dtype addressing a flat array of `cap` rows."""
+  return np.uint16 if cap <= np.iinfo(np.uint16).max else np.int32
+
+
 def ragged_flat_capacity(n_rows: int, batch: int, max_passes: int) -> int:
   """Smallest flat-array tier (incl. the zeros sentinel row) >= n_rows."""
   for m in RAGGED_ROW_TIERS:
@@ -352,24 +381,25 @@ def ragged_from_rows(
   row = np.arange(total) - np.repeat(np.cumsum(p) - p, p)
 
   cap = ragged_flat_capacity(total + 1, B, params.max_passes)
-  lp = (L + 1) // 2
+  lp = (L + 2) // 3
   flat_bases = np.zeros((cap, lp), np.uint8)
-  flat_bases[1 : total + 1] = pack_nibbles(
+  flat_bases[1 : total + 1] = pack_base3(
       x[win, base_idx[0] + row].astype(np.uint8)
   )
   flat_pw = np.zeros((cap, L), np.uint8)
   flat_pw[1 : total + 1] = x[win, pw_idx[0] + row].astype(np.uint8)
   flat_ip = np.zeros((cap, L), np.uint8)
   flat_ip[1 : total + 1] = x[win, ip_idx[0] + row].astype(np.uint8)
-  row_index = np.zeros((B, params.max_passes), np.int32)
-  row_index[win, row] = 1 + np.arange(total, dtype=np.int32)
+  idt = row_index_dtype(cap)
+  row_index = np.zeros((B, params.max_passes), idt)
+  row_index[win, row] = (1 + np.arange(total)).astype(idt)
 
   out = {
       'row_index': row_index,
       'flat_bases': flat_bases,
       'strand': x[:, strand_idx[0] : strand_idx[0] + params.max_passes, 0]
       .astype(np.uint8),
-      'ccs': pack_nibbles(x[:, ccs_idx[0]].astype(np.uint8)),
+      'ccs': pack_base3(x[:, ccs_idx[0]].astype(np.uint8)),
       'sn': x[:, slice(*sn_idx), 0].astype(np.uint16),
   }
   if params.use_ccs_bq:
@@ -439,11 +469,12 @@ class RaggedBatchBuilder:
     total = int(p.sum())
     cap = ragged_flat_capacity(total + 1, bpad, max_passes)
 
-    lp = (L + 1) // 2
+    lp = (L + 2) // 3
     flat_bases = np.zeros((cap, lp), np.uint8)
     flat_pw = np.zeros((cap, L), np.uint8)
     flat_ip = np.zeros((cap, L), np.uint8)
-    row_index = np.zeros((bpad, max_passes), np.int32)
+    idt = row_index_dtype(cap)
+    row_index = np.zeros((bpad, max_passes), idt)
     strand = np.zeros((bpad, max_passes), np.uint8)
     sn = np.zeros((bpad, 4), np.uint16)
     ccs_ids = np.zeros((bpad, L), np.uint8)
@@ -456,14 +487,14 @@ class RaggedBatchBuilder:
       nw = i1 - i0
       k = min(block.num_passes, max_passes)
       cnt = nw * k
-      flat_bases[1 + ofs : 1 + ofs + cnt] = pack_nibbles(
+      flat_bases[1 + ofs : 1 + ofs + cnt] = pack_base3(
           block.bases[i0:i1, :k].reshape(cnt, L)
       )
       flat_pw[1 + ofs : 1 + ofs + cnt] = block.pw[i0:i1, :k].reshape(cnt, L)
       flat_ip[1 + ofs : 1 + ofs + cnt] = block.ip[i0:i1, :k].reshape(cnt, L)
       row_index[w0 : w0 + nw, :k] = (
-          1 + ofs + np.arange(cnt, dtype=np.int32)
-      ).reshape(nw, k)
+          1 + ofs + np.arange(cnt)
+      ).astype(idt).reshape(nw, k)
       strand[w0 : w0 + nw, :k] = block.strand[None, :k]
       sn[w0 : w0 + nw] = block.sn[None, :]
       ccs_ids[w0 : w0 + nw] = block.ccs[i0:i1]
@@ -476,7 +507,7 @@ class RaggedBatchBuilder:
         'flat_bases': flat_bases,
         'row_index': row_index,
         'strand': strand,
-        'ccs': pack_nibbles(ccs_ids),
+        'ccs': pack_base3(ccs_ids),
         'sn': sn,
     }
     if use_bq:

@@ -63,20 +63,14 @@ def test_ragged_round_trip_equals_compact():
   idx = ragged['row_index']
   P, L = params.max_passes, params.max_length
   # numpy mirror of the device decode
-  packed = ragged['flat_bases'][idx]
-  bases = np.stack([packed & 0xF, packed >> 4], axis=-1).reshape(
-      idx.shape[0], P, -1
-  )[..., :L]
+  bases = data.unpack_base3(ragged['flat_bases'][idx], L)
   np.testing.assert_array_equal(bases, compact['bases'])
   flat_pw = data.nibble_escape_decode(ragged['pw_codes'], ragged['pw_esc'], L)
   flat_ip = data.nibble_escape_decode(ragged['ip_codes'], ragged['ip_esc'], L)
   np.testing.assert_array_equal(flat_pw[idx], compact['pw'])
   np.testing.assert_array_equal(flat_ip[idx], compact['ip'])
   np.testing.assert_array_equal(ragged['strand'], compact['strand'])
-  ccs_packed = ragged['ccs']
-  ccs = np.stack([ccs_packed & 0xF, ccs_packed >> 4], axis=-1).reshape(
-      idx.shape[0], -1
-  )[:, :L]
+  ccs = data.unpack_base3(ragged['ccs'], L)
   np.testing.assert_array_equal(ccs, compact['ccs'])
   np.testing.assert_array_equal(ragged['sn'], compact['sn'])
   # Byte accounting: the ragged payload must be substantially smaller.
@@ -146,3 +140,12 @@ def test_nibble_escape_overflow_falls_back():
   rows[:, params.max_passes : 2 * params.max_passes] = 200.0  # pw rows
   ragged = data.ragged_from_rows(rows, [params.max_passes] * 8, params)
   assert 'flat_pw' in ragged and 'pw_codes' not in ragged
+
+
+def test_pack_base3_round_trip():
+  rng = np.random.default_rng(11)
+  for L in (100, 99, 1, 3):
+    x = rng.integers(0, 5, size=(7, L)).astype(np.uint8)
+    packed = data.pack_base3(x)
+    assert packed.shape == (7, -(-L // 3))
+    np.testing.assert_array_equal(data.unpack_base3(packed, L), x)
