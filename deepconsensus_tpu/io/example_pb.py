@@ -12,6 +12,8 @@ shape with no TensorFlow/protobuf dependency:
 import struct
 from typing import Dict, List, Union
 
+import numpy as np
+
 FeatureValue = Union[List[bytes], List[int], List[float]]
 
 
@@ -52,10 +54,45 @@ def _encode_feature(values: FeatureValue, kind: str) -> bytes:
     inner = _len_delim(1, payload)  # packed floats
     return _len_delim(2, inner)
   if kind == 'int64':
-    payload = b''.join(_varint(v & 0xFFFFFFFFFFFFFFFF) for v in values)
+    payload = _varints_int64(values)
     inner = _len_delim(1, payload)  # packed varints
     return _len_delim(3, inner)
   raise ValueError(kind)
+
+
+# An int64 in [-128, -1] varint-encodes as one value-dependent byte then
+# this fixed 9-byte tail (bits 7..63 of the two's complement are all ones:
+# eight full 0x7F groups continued, then the 0x01 terminator).
+_NEG_TAIL = bytes([0xFF] * 8 + [0x01])
+
+
+def _varints_int64(values) -> bytes:
+  """Packed varint encoding of an int64 list, vectorized for small values.
+
+  Values in [0, 128) encode as their own single byte and values in
+  [-128, -1] as one byte plus a fixed 9-byte tail — together these cover
+  every quality-score list (the hot path: one 100-long list per example).
+  Anything else falls back to the general per-value encoder.
+  """
+  if len(values) < 16:  # numpy setup outweighs the loop for tiny lists
+    return b''.join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in values)
+  arr = np.asarray(values, dtype=np.int64)
+  small = (arr >= 0) & (arr < 128)
+  neg = (arr < 0) & (arr >= -128)
+  if not bool(np.all(small | neg)):
+    return b''.join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in arr)
+  if not neg.any():
+    return arr.astype(np.uint8).tobytes()
+  lens = np.where(neg, 10, 1)
+  out = np.zeros(int(lens.sum()), np.uint8)
+  starts = np.cumsum(lens) - lens
+  out[starts] = np.where(neg, (arr & 0x7F) | 0x80, arr).astype(np.uint8)
+  tail = np.frombuffer(_NEG_TAIL, np.uint8)
+  neg_starts = starts[neg]
+  out[(neg_starts[:, None] + np.arange(1, 10)[None, :]).ravel()] = np.tile(
+      tail, neg_starts.size
+  )
+  return out.tobytes()
 
 
 def encode_example(features: Dict[str, tuple]) -> bytes:
