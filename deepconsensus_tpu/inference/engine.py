@@ -115,6 +115,81 @@ class Timing:
       writer.writerows(self.rows)
 
 
+def unpack_nibbles(packed, length: int):
+  """Inverse of data.pack_nibbles: (…, ceil(L/2)) uint8 -> (…, L) ids."""
+  lo = packed & jnp.uint8(0xF)
+  hi = packed >> 4
+  ids = jnp.stack([lo, hi], axis=-1).reshape(
+      packed.shape[:-1] + (2 * packed.shape[-1],)
+  )
+  return ids[..., :length]
+
+
+def unpack_base3(packed, length: int):
+  """Inverse of data.pack_base3: (…, ceil(L/3)) uint8 -> (…, L) ids < 5."""
+  v0 = packed % jnp.uint8(5)
+  v1 = (packed // jnp.uint8(5)) % jnp.uint8(5)
+  v2 = packed // jnp.uint8(25)
+  ids = jnp.stack([v0, v1, v2], axis=-1).reshape(
+      packed.shape[:-1] + (3 * packed.shape[-1],)
+  )
+  return ids[..., :length]
+
+
+def decode_nibble_escape(codes_packed, esc):
+  """Inverse of data.nibble_escape_encode on device.
+
+  4-bit codes; 15 = take the next value from the escape stream (flat
+  row-major order). The escape index is a two-level prefix sum — per
+  4096-wide chunk plus chunk offsets — because a single giant 1-D cumsum
+  lowers to a slow sequential scan on TPU (~67 ms at 4M elements vs ~2 ms
+  this way).
+  """
+  codes = unpack_nibbles(codes_packed, 2 * codes_packed.shape[-1])
+  rows, lc = codes.shape
+  flat = codes.reshape(-1)
+  n = flat.shape[0]
+  chunk = 4096
+  pad = (-n) % chunk
+  flat_p = jnp.pad(flat, (0, pad)).reshape(-1, chunk)
+  mask = flat_p == jnp.uint8(data.PWIP_ESC_CODE)
+  within = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # inclusive
+  offs = jnp.cumsum(within[:, -1]) - within[:, -1]  # exclusive chunks
+  pos = within - 1 + offs[:, None]
+  esc_v = jnp.take(esc, jnp.clip(pos, 0, esc.shape[0] - 1))
+  out = jnp.where(mask, esc_v, flat_p)
+  return out.reshape(-1)[:n].reshape(rows, lc)
+
+
+def reconstruct_compact(t, length: int):
+  """Device-side ragged-transport decode -> compact feature dict.
+
+  Rebuilds the (B, max_passes, L) padded feature layout from the
+  minimum-byte flat transport (data.ragged_from_rows /
+  data.RaggedBatchBuilder): one gather per feature; flat row 0 is the
+  zeros sentinel, so padding slots reconstruct exactly the all-zero rows
+  of the dense layout. pw/ip arrive nibble+escape encoded (decoded before
+  the row gather) unless the batch overflowed the escape capacity.
+  """
+  idx = t['row_index']
+  if 'pw_codes' in t:
+    flat_pw = decode_nibble_escape(t['pw_codes'], t['pw_esc'])[:, :length]
+    flat_ip = decode_nibble_escape(t['ip_codes'], t['ip_esc'])[:, :length]
+  else:
+    flat_pw, flat_ip = t['flat_pw'], t['flat_ip']
+  compact = {
+      'bases': unpack_base3(jnp.take(t['flat_bases'], idx, axis=0), length),
+      'pw': jnp.take(flat_pw, idx, axis=0),
+      'ip': jnp.take(flat_ip, idx, axis=0),
+      'strand': t['strand'],
+      'ccs': unpack_base3(t['ccs'], length),
+      'sn': t['sn'],
+  }
+  if 'ccs_bq' in t:
+    compact['ccs_bq'] = t['ccs_bq']
+  return compact
+
+
 class ModelRunner:
   """Owns the jitted forward pass over fixed-shape batches.
 
@@ -178,70 +253,8 @@ class ModelRunner:
 
     L = int(params.max_length)
 
-    def unpack_nibbles(packed):
-      # Inverse of data.pack_nibbles: (…, ceil(L/2)) uint8 -> (…, L) ids.
-      lo = packed & jnp.uint8(0xF)
-      hi = packed >> 4
-      ids = jnp.stack([lo, hi], axis=-1).reshape(
-          packed.shape[:-1] + (2 * packed.shape[-1],)
-      )
-      return ids[..., :L]
-
-    def unpack_base3(packed):
-      # Inverse of data.pack_base3: (…, ceil(L/3)) uint8 -> (…, L) ids < 5.
-      v0 = packed % jnp.uint8(5)
-      v1 = (packed // jnp.uint8(5)) % jnp.uint8(5)
-      v2 = packed // jnp.uint8(25)
-      ids = jnp.stack([v0, v1, v2], axis=-1).reshape(
-          packed.shape[:-1] + (3 * packed.shape[-1],)
-      )
-      return ids[..., :L]
-
-    def decode_nibble_escape(codes_packed, esc):
-      # Inverse of data.nibble_escape_encode: 4-bit codes, 15 = take the
-      # next value from the escape stream (flat row-major order). The
-      # escape index is a two-level prefix sum — per 4096-wide chunk plus
-      # chunk offsets — because a single giant 1-D cumsum lowers to a slow
-      # sequential scan on TPU (~67 ms at 4M elements vs ~2 ms this way).
-      codes = unpack_nibbles(codes_packed)
-      R, Lc = codes.shape
-      flat = codes.reshape(-1)
-      n = flat.shape[0]
-      chunk = 4096
-      pad = (-n) % chunk
-      flat_p = jnp.pad(flat, (0, pad)).reshape(-1, chunk)
-      mask = flat_p == jnp.uint8(data.PWIP_ESC_CODE)
-      within = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # inclusive
-      offs = jnp.cumsum(within[:, -1]) - within[:, -1]  # exclusive chunks
-      pos = within - 1 + offs[:, None]
-      esc_v = jnp.take(esc, jnp.clip(pos, 0, esc.shape[0] - 1))
-      out = jnp.where(mask, esc_v, flat_p)
-      return out.reshape(-1)[:n].reshape(R, Lc)
-
     def forward_ragged(variables, t):
-      # Rebuild the (B, max_passes, L) padded feature layout on DEVICE
-      # from the minimum-byte flat transport (data.ragged_from_rows): one
-      # gather per feature; flat row 0 is the zeros sentinel, so padding
-      # slots reconstruct exactly the all-zero rows of the dense layout.
-      # pw/ip arrive nibble+escape encoded (decoded before the row gather)
-      # unless the batch overflowed the escape capacity.
-      idx = t['row_index']
-      if 'pw_codes' in t:
-        flat_pw = decode_nibble_escape(t['pw_codes'], t['pw_esc'])
-        flat_ip = decode_nibble_escape(t['ip_codes'], t['ip_esc'])
-      else:
-        flat_pw, flat_ip = t['flat_pw'], t['flat_ip']
-      compact = {
-          'bases': unpack_base3(jnp.take(t['flat_bases'], idx, axis=0)),
-          'pw': jnp.take(flat_pw, idx, axis=0),
-          'ip': jnp.take(flat_ip, idx, axis=0),
-          'strand': t['strand'],
-          'ccs': unpack_base3(t['ccs']),
-          'sn': t['sn'],
-      }
-      if 'ccs_bq' in t:
-        compact['ccs_bq'] = t['ccs_bq']
-      return forward(variables, compact)
+      return forward(variables, reconstruct_compact(t, L))
 
     self._forward = jax.jit(forward)
     self._forward_ragged = jax.jit(forward_ragged)
@@ -485,6 +498,7 @@ def enqueue_round_blocks(
   batches: List[Dict[str, Any]] = []
   handles: List[Any] = []
   meta_keys = ('window_pos', 'name', 'ec', 'np_num_passes', 'rq', 'rg')
+  num_shards = getattr(runner, 'num_shards', 1)
   builder = data.RaggedBatchBuilder(params, options.batch_size)
   meta: Dict[str, List[Any]] = {k: [] for k in meta_keys}
 
@@ -492,7 +506,7 @@ def enqueue_round_blocks(
     nonlocal builder, meta
     if not builder.n:
       return
-    transport = builder.build()
+    transport = builder.build(num_shards)
     batches.append(meta)
     handles.append(runner.predict_ragged_async(transport, builder.n))
     builder = data.RaggedBatchBuilder(params, options.batch_size)

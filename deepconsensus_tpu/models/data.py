@@ -455,20 +455,30 @@ class RaggedBatchBuilder:
     self._segments.append((block, i0, i1))
     self.n += i1 - i0
 
-  def build(self) -> Dict[str, np.ndarray]:
+  def _segment_rows(self, segments) -> int:
+    max_passes = int(self.params.max_passes)
+    return sum(
+        (i1 - i0) * min(b.num_passes, max_passes) for b, i0, i1 in segments
+    )
+
+  def _split_segments(self, shard_windows: int, num_shards: int):
+    """Splits the segment list into per-shard lists of equal window count."""
+    shards: List[List[Any]] = [[] for _ in range(num_shards)]
+    w = 0
+    for block, i0, i1 in self._segments:
+      while i0 < i1:
+        s = w // shard_windows
+        take = min(i1 - i0, (s + 1) * shard_windows - w)
+        shards[s].append((block, i0, i0 + take))
+        i0 += take
+        w += take
+    return shards
+
+  def _assemble(self, segments, bpad: int, cap: int):
+    """Fills one shard's arrays; returns (dict sans pw/ip, flat_pw, flat_ip)."""
     params = self.params
     L = int(params.max_length)
     max_passes = int(params.max_passes)
-    B = self.n
-    bpad = padded_size(B, self.batch_size)
-    p = np.zeros(bpad, np.int64)
-    w0 = 0
-    for block, i0, i1 in self._segments:
-      p[w0 : w0 + (i1 - i0)] = min(block.num_passes, max_passes)
-      w0 += i1 - i0
-    total = int(p.sum())
-    cap = ragged_flat_capacity(total + 1, bpad, max_passes)
-
     lp = (L + 2) // 3
     flat_bases = np.zeros((cap, lp), np.uint8)
     flat_pw = np.zeros((cap, L), np.uint8)
@@ -483,7 +493,7 @@ class RaggedBatchBuilder:
 
     w0 = 0
     ofs = 0  # real rows filled so far (flat row 0 is the zeros sentinel)
-    for block, i0, i1 in self._segments:
+    for block, i0, i1 in segments:
       nw = i1 - i0
       k = min(block.num_passes, max_passes)
       cnt = nw * k
@@ -512,8 +522,49 @@ class RaggedBatchBuilder:
     }
     if use_bq:
       out['ccs_bq'] = ccs_bq
-    out.update(_encode_pwip(flat_pw, flat_ip))
-    return out
+    return out, flat_pw, flat_ip
+
+  def build(self, num_shards: int = 1) -> Dict[str, np.ndarray]:
+    params = self.params
+    max_passes = int(params.max_passes)
+    if num_shards == 1:
+      bpad = padded_size(self.n, self.batch_size)
+      total = self._segment_rows(self._segments)
+      cap = ragged_flat_capacity(total + 1, bpad, max_passes)
+      out, flat_pw, flat_ip = self._assemble(self._segments, bpad, cap)
+      out.update(_encode_pwip(flat_pw, flat_ip))
+      return out
+
+    # Sharded build: one independent transport per device, stacked on a
+    # new leading axis that shard_map splits over the mesh. Each shard's
+    # flat arrays are self-contained (window rows are batch-major, so a
+    # contiguous window range owns a contiguous row range); all shards
+    # share the max capacity tier so the stack is rectangular, and the
+    # pw/ip escape encoding falls back for ALL shards if any overflows
+    # (one transport signature per batch).
+    bpad = padded_size(self.n, self.batch_size, multiple=num_shards)
+    shard_windows = bpad // num_shards
+    shard_segments = self._split_segments(shard_windows, num_shards)
+    cap = max(
+        ragged_flat_capacity(
+            self._segment_rows(segs) + 1, shard_windows, max_passes
+        )
+        for segs in shard_segments
+    )
+    parts = [
+        self._assemble(segs, shard_windows, cap) for segs in shard_segments
+    ]
+    pw_encs = [nibble_escape_encode(fp) for _, fp, _ in parts]
+    ip_encs = [nibble_escape_encode(fi) for _, _, fi in parts]
+    encoded = all(e is not None for e in pw_encs + ip_encs)
+    for (out, flat_pw, flat_ip), pw_e, ip_e in zip(parts, pw_encs, ip_encs):
+      if encoded:
+        out['pw_codes'], out['pw_esc'] = pw_e['codes'], pw_e['esc']
+        out['ip_codes'], out['ip_esc'] = ip_e['codes'], ip_e['esc']
+      else:
+        out['flat_pw'], out['flat_ip'] = flat_pw, flat_ip
+    dicts = [out for out, _, _ in parts]
+    return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
 
 def compact_from_rows(

@@ -76,6 +76,50 @@ class ShardedModelRunner:
         out_shardings=(shard, shard),
     )
 
+    # Ragged minimum-byte transport, sharded: the host builds one
+    # independent flat transport per device (data.RaggedBatchBuilder
+    # build(num_shards), stacked on a leading axis) and shard_map runs the
+    # single-chip reconstruction + forward on each device's own shard —
+    # the flat-array gather never crosses devices, so no collectives.
+    from deepconsensus_tpu.inference import engine as engine_lib
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    L = int(params.max_length)
+    axis = mesh_lib.DATA_AXIS
+
+    def forward_ragged_shard(variables, t):
+      t1 = jax.tree_util.tree_map(lambda v: v[0], t)  # strip shard axis
+      compact = engine_lib.reconstruct_compact(t1, L)
+      ids, maxp = forward(variables, compact)
+      return ids[None], maxp[None]
+
+    fr = shard_map(
+        forward_ragged_shard,
+        mesh=self.mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+
+    def forward_ragged(variables, t):
+      ids, maxp = fr(variables, t)
+      return ids.reshape(-1, L), maxp.reshape(-1, L)
+
+    self._forward_ragged = jax.jit(forward_ragged)
+    self.transport = 'ragged'
+    self.num_shards = n_dev
+
+  def predict_ragged_async(self, ragged, n: int):
+    """Enqueues a prebuilt per-shard-stacked ragged transport batch."""
+    out = self._forward_ragged(self.variables, ragged)
+    for arr in out:
+      try:
+        arr.copy_to_host_async()
+      except (AttributeError, RuntimeError):
+        break
+    return out, n
+
   def predict_async(self, rows: np.ndarray, pass_limit=None,
                     num_passes=None):
     # num_passes accepted for ModelRunner API compat; the sharded runner

@@ -138,3 +138,45 @@ def test_avg_phred_rows_matches_scalar():
   rows = phred.avg_phred_rows(bq)
   for i in range(len(bq)):
     assert rows[i] == phred.avg_phred(bq[i]), i
+
+
+def test_sharded_ragged_build_matches_single():
+  """build(num_shards) = per-shard transports equal to per-shard builds."""
+  import jax
+
+  if len(jax.devices()) < 4:
+    return
+  params = _params()
+  options = engine.InferenceOptions(
+      max_length=100, example_height=85, max_passes=20, batch_size=64
+  )
+  inputs = _zmw_inputs()
+  blocks, _, _ = engine.featurize_round_blocks(
+      inputs, 'x', collections.Counter(), engine.Timing(),
+      engine.clip_maxima(params)
+  )
+  builder = data.RaggedBatchBuilder(params, options.batch_size)
+  for b in blocks[:3]:
+    if builder.room >= b.n_windows:
+      builder.add_segment(b, 0, b.n_windows)
+  n = builder.n
+  sharded = builder.build(num_shards=4)
+  # Every key gains a leading shard axis of size 4.
+  for k, v in sharded.items():
+    assert v.shape[0] == 4, k
+
+  from deepconsensus_tpu.models import model as model_lib
+  from deepconsensus_tpu.parallel import dp_inference
+
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+  single = engine.ModelRunner(params, jax.device_get(variables), 64)
+  multi = dp_inference.ShardedModelRunner(
+      params, jax.device_get(variables), 64, num_devices=4
+  )
+  ids_m, maxp_m = multi.collect(multi.predict_ragged_async(sharded, n))
+  ids_s, maxp_s = single.collect(
+      single.predict_ragged_async(builder.build(), n)
+  )
+  np.testing.assert_array_equal(ids_m, ids_s)
+  np.testing.assert_array_equal(maxp_m, maxp_s)
