@@ -97,6 +97,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.dc_tfexample_parse_batch.argtypes = [
         u8p, c, c, c, u8p, u8p, i32p, c, ctypes.c_int,
     ]
+    lib.dc_spaced_columns.restype = c
+    lib.dc_spaced_columns.argtypes = [u8p, llp, c, i32p, llp]
+    lib.dc_scatter_windows.restype = c
+    lib.dc_scatter_windows.argtypes = [
+        i32p, llp, c, u8p, u8p, u8p, u8p, c, u8p, u8p, u8p,
+    ]
   except AttributeError:
     # Library built from an older source revision: rebuild once.
     del lib
@@ -356,3 +362,59 @@ def bam_scan(buf: bytes, start: int):
   out = {'offsets': offsets[:n]}
   out.update({k: v[:n] for k, v in fields.items()})
   return out
+
+
+def spaced_columns(cig_cat, offs):
+  """Native spacing geometry: (col int32, finals int64) or None.
+
+  cig_cat: concatenated per-position cigar ops (uint8); offs: int64 read
+  boundaries (n+1). Inference reads only (no labels). Bit-equal to
+  spacing.spaced_columns' numpy math (tests/test_native_featurize.py).
+  """
+  lib = get_lib()
+  if lib is None:
+    return None
+  import numpy as np
+
+  n = len(offs) - 1
+  col = np.empty(int(offs[-1]), np.int32)
+  finals = np.empty(n, np.int64)
+
+  def ptr(a, ct):
+    return ctypes.cast(a.ctypes.data, ctypes.POINTER(ct))
+
+  cig_cat = np.ascontiguousarray(cig_cat)
+  offs = np.ascontiguousarray(offs, dtype=np.int64)
+  rc = lib.dc_spaced_columns(
+      ptr(cig_cat, ctypes.c_uint8), ptr(offs, ctypes.c_longlong), n,
+      ptr(col, ctypes.c_int32), ptr(finals, ctypes.c_longlong),
+  )
+  if rc != 0:
+    return None
+  return col, finals
+
+
+def scatter_windows(col, offs, bases_cat, pw_cat, ip_cat, base_to_id,
+                    out_bases, out_pw, out_ip) -> bool:
+  """Native window scatter into zeroed (k, W) uint8 arrays; False = no lib."""
+  lib = get_lib()
+  if lib is None:
+    return False
+  import numpy as np
+
+  k = out_bases.shape[0]
+  w = out_bases.shape[1]
+
+  def ptr(a, ct):
+    return ctypes.cast(a.ctypes.data, ctypes.POINTER(ct))
+
+  col = np.ascontiguousarray(col, dtype=np.int32)
+  offs = np.ascontiguousarray(offs, dtype=np.int64)
+  lib.dc_scatter_windows(
+      ptr(col, ctypes.c_int32), ptr(offs, ctypes.c_longlong), k,
+      ptr(bases_cat, ctypes.c_uint8), ptr(pw_cat, ctypes.c_uint8),
+      ptr(ip_cat, ctypes.c_uint8), ptr(base_to_id, ctypes.c_uint8), w,
+      ptr(out_bases, ctypes.c_uint8), ptr(out_pw, ctypes.c_uint8),
+      ptr(out_ip, ctypes.c_uint8),
+  )
+  return True

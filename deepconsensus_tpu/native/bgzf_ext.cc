@@ -849,3 +849,101 @@ long long dc_tfexample_parse_batch(const uint8_t* buf, long long n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Featurizer fast path: spacing geometry + window scatter.
+//
+// Native mirror of deepconsensus_tpu/preprocess/spacing.spaced_columns and
+// the subread scatter loop in windows.zmw_window_block, for the inference
+// path (no label reads). Pure integer arithmetic — results are bit-equal to
+// the numpy implementations (equivalence-tested from Python).
+
+extern "C" {
+
+// Spaced output column per read position (inference reads: no labels).
+// cig: concatenated per-position cigar ops; offs[n_reads+1] read bounds.
+// Writes col[total] (int32) and finals[n_reads]; returns 0, or -1 on
+// malformed input.
+long long dc_spaced_columns(const uint8_t* cig, const long long* offs,
+                            long long n_reads, int32_t* col,
+                            long long* finals) {
+  const uint8_t kIns = 1;  // constants.CINS
+  long long total = offs[n_reads];
+  if (total <= 0) {
+    for (long long i = 0; i < n_reads; i++) finals[i] = 0;
+    return 0;
+  }
+  // Pass 1: junction insertion maxima over reads.
+  long long max_match = 0;
+  for (long long i = 0; i < n_reads; i++) {
+    long long m = 0;
+    for (long long p = offs[i]; p < offs[i + 1]; p++) m += cig[p] != kIns;
+    if (m > max_match) max_match = m;
+  }
+  std::vector<int64_t> J(max_match + 1, 0);
+  for (long long i = 0; i < n_reads; i++) {
+    long long m = 0, run = 0;
+    for (long long p = offs[i]; p < offs[i + 1]; p++) {
+      if (cig[p] == kIns) {
+        run++;
+      } else {
+        if (run && run > J[m]) J[m] = run;
+        run = 0;
+        m++;
+      }
+    }
+    if (run && run > J[m]) J[m] = run;
+  }
+  // S[m] = inclusive prefix sum of J; col(match m) = S[m] + m,
+  // col(ins at junction j, rank k) = S[j] - J[j] + j + k.
+  std::vector<int64_t> S(max_match + 1, 0);
+  int64_t acc = 0;
+  for (long long j = 0; j <= max_match; j++) {
+    acc += J[j];
+    S[j] = acc;
+  }
+  for (long long i = 0; i < n_reads; i++) {
+    long long m = 0, rank = 0;
+    int64_t last = -1;
+    for (long long p = offs[i]; p < offs[i + 1]; p++) {
+      if (cig[p] == kIns) {
+        last = S[m] - J[m] + m + rank;
+        rank++;
+      } else {
+        last = S[m] + m;
+        m++;
+        rank = 0;
+      }
+      col[p] = (int32_t)last;
+    }
+    finals[i] = offs[i + 1] > offs[i] ? last + 1 : 0;
+  }
+  return 0;
+}
+
+// Scatters k subreads' per-position values into zeroed (k, W) transport
+// arrays: out[i*W + col[p]] = value (positions with col >= W dropped).
+// base_to_id: 256-entry vocab LUT applied to bases.
+long long dc_scatter_windows(const int32_t* col, const long long* offs,
+                             long long k, const uint8_t* bases,
+                             const uint8_t* pw, const uint8_t* ip,
+                             const uint8_t* base_to_id, long long W,
+                             uint8_t* out_bases, uint8_t* out_pw,
+                             uint8_t* out_ip) {
+  for (long long i = 0; i < k; i++) {
+    uint8_t* ob = out_bases + i * W;
+    uint8_t* op = out_pw + i * W;
+    uint8_t* oi = out_ip + i * W;
+    for (long long p = offs[i]; p < offs[i + 1]; p++) {
+      int32_t c = col[p];
+      if (c < W) {
+        ob[c] = base_to_id[bases[p]];
+        op[c] = pw[p];
+        oi[c] = ip[p];
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

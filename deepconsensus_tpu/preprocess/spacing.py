@@ -66,8 +66,20 @@ def spaced_columns(
   if total == 0:
     return [np.empty(0, np.int64)] * n, [0] * n, 0
   cig = np.concatenate([r.cigar for r in reads])
-  rid = np.repeat(np.arange(n, dtype=np.int32), lens)
   lab = np.array([r.is_label for r in reads], dtype=bool)
+
+  if not lab.any():
+    # Native single-pass geometry (bit-equal; labels keep the numpy path).
+    from deepconsensus_tpu import native
+
+    res = native.spaced_columns(cig, offs.astype(np.int64))
+    if res is not None:
+      col, finals_arr = res
+      cols = [col[offs[i] : offs[i + 1]] for i in range(n)]
+      finals = [int(f) for f in finals_arr]
+      return cols, finals, max(finals, default=0)
+
+  rid = np.repeat(np.arange(n, dtype=np.int32), lens)
 
   is_ins = cig == constants.CINS
   not_ins = ~is_ins

@@ -417,18 +417,32 @@ def zmw_window_block(
   bases = np.zeros((k, W), np.uint8)
   pw = np.zeros((k, W), np.uint8)
   ip = np.zeros((k, W), np.uint8)
-  for i, r in enumerate(subs):
-    c = cols[i]
-    msk = c < W  # columns past the last window are never featurized
-    if not msk.all():
-      c = c[msk]
-      bases[i, c] = constants.BASE_TO_ID[r.bases[msk]]
-      pw[i, c] = r.pw[msk]
-      ip[i, c] = r.ip[msk]
-    else:
-      bases[i, c] = constants.BASE_TO_ID[r.bases]
-      pw[i, c] = r.pw
-      ip[i, c] = r.ip
+  sub_lens = np.array([len(r.bases) for r in subs], np.int64)
+  sub_offs = np.zeros(k + 1, np.int64)
+  np.cumsum(sub_lens, out=sub_offs[1:])
+  from deepconsensus_tpu import native
+
+  if not native.scatter_windows(
+      np.concatenate(cols[:k]) if k else np.empty(0, np.int32),
+      sub_offs,
+      np.concatenate([r.bases for r in subs]),
+      np.concatenate([r.pw for r in subs]),
+      np.concatenate([r.ip for r in subs]),
+      constants.BASE_TO_ID,
+      bases, pw, ip,
+  ):
+    for i, r in enumerate(subs):
+      c = cols[i]
+      msk = c < W  # columns past the last window are never featurized
+      if not msk.all():
+        c = c[msk]
+        bases[i, c] = constants.BASE_TO_ID[r.bases[msk]]
+        pw[i, c] = r.pw[msk]
+        ip[i, c] = r.ip[msk]
+      else:
+        bases[i, c] = constants.BASE_TO_ID[r.bases]
+        pw[i, c] = r.pw
+        ip[i, c] = r.ip
   if pw_max is not None and pw_max < 255:
     np.clip(pw, 0, pw_max, out=pw)
   if ip_max is not None and ip_max < 255:
