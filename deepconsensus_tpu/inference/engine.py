@@ -190,6 +190,13 @@ def reconstruct_compact(t, length: int):
   return compact
 
 
+def _on_tpu() -> bool:
+  try:
+    return jax.devices()[0].platform in ('tpu', 'axon')
+  except Exception:
+    return False
+
+
 class ModelRunner:
   """Owns the jitted forward pass over fixed-shape batches.
 
@@ -208,6 +215,9 @@ class ModelRunner:
     # Pin weights on device once; every forward reuses them.
     self.variables = jax.device_put(variables)
     self._use_ccs_bq = bool(params.use_ccs_bq)
+    # One-hot MXU embedding lookups on TPU (bit-identical to gathers and
+    # ~4x faster there; CPU keeps gathers — the one-hot would materialize).
+    embed_matmul = _on_tpu()
 
     use_fused = bool(params.get('use_pallas_fused_encoder', False))
 
@@ -226,6 +236,7 @@ class ModelRunner:
             compact['ccs'],
             compact['sn'],
             compact.get('ccs_bq'),
+            embed_matmul=embed_matmul,
             method='compact_embed',
         )
         logits = fe.fused_logits(
@@ -243,6 +254,7 @@ class ModelRunner:
             compact['sn'],
             compact.get('ccs_bq'),
             deterministic=True,
+            embed_matmul=embed_matmul,
             method='compact_outputs',
         )
         logits = outputs['logits']

@@ -46,6 +46,9 @@ class ShardedModelRunner:
     repl = mesh_lib.replicated(self.mesh)
     self.variables = jax.device_put(variables, repl)
     shard = mesh_lib.batch_sharding(self.mesh)
+    from deepconsensus_tpu.inference import engine as engine_lib
+    # One-hot MXU embedding lookups on TPU (bit-identical; see engine).
+    embed_matmul = engine_lib._on_tpu()
 
     def forward(variables, compact):
       outputs = self.model.apply(
@@ -58,6 +61,7 @@ class ShardedModelRunner:
           compact['sn'],
           compact.get('ccs_bq'),
           deterministic=True,
+          embed_matmul=embed_matmul,
           method='compact_outputs',
       )
       probs = jax.nn.softmax(outputs['logits'].astype(jnp.float32), axis=-1)
@@ -81,7 +85,6 @@ class ShardedModelRunner:
     # build(num_shards), stacked on a leading axis) and shard_map runs the
     # single-chip reconstruction + forward on each device's own shard —
     # the flat-array gather never crosses devices, so no collectives.
-    from deepconsensus_tpu.inference import engine as engine_lib
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -122,9 +125,8 @@ class ShardedModelRunner:
 
   def predict_async(self, rows: np.ndarray, pass_limit=None,
                     num_passes=None):
-    # num_passes accepted for ModelRunner API compat; the sharded runner
-    # keeps the bucketed compact transport (flat ragged arrays have no
-    # natural batch-axis sharding).
+    # Dense-rows entry point (tests / legacy callers): the bucketed compact
+    # transport. The engine's block path uses predict_ragged_async instead.
     del num_passes
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size, multiple=self.mesh.devices.size)

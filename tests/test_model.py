@@ -191,3 +191,34 @@ def test_conv_net_sn_reaches_head():
   out_c = np.asarray(model2.apply(variables2, rows, deterministic=True))
   out_d = np.asarray(model2.apply(variables2, bumped, deterministic=True))
   np.testing.assert_array_equal(out_c, out_d)
+
+
+def test_embed_matmul_bit_identical():
+  """compact_outputs with one-hot MXU lookups == gather lookups."""
+  import jax
+  import numpy as np
+
+  from deepconsensus_tpu.models import configs, model as model_lib
+
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  variables = model_lib.init_params(model, params)
+
+  rng = np.random.default_rng(2)
+  B, P, L = 4, params.max_passes, params.max_length
+  args = dict(
+      bases=rng.integers(0, 5, (B, P, L)).astype(np.uint8),
+      pw=rng.integers(0, 256, (B, P, L)).astype(np.uint8),
+      ip=rng.integers(0, 256, (B, P, L)).astype(np.uint8),
+      strand=rng.integers(0, 3, (B, P)).astype(np.uint8),
+      ccs=rng.integers(0, 5, (B, L)).astype(np.uint8),
+      sn=rng.integers(0, 500, (B, 4)).astype(np.uint16),
+  )
+  plain = model.apply(variables, **args, method='compact_outputs')
+  fused = model.apply(
+      variables, **args, embed_matmul=True, method='compact_outputs'
+  )
+  np.testing.assert_array_equal(
+      jax.device_get(plain['logits']), jax.device_get(fused['logits'])
+  )
