@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from deepconsensus_tpu import constants
 from deepconsensus_tpu.calibration import calibration as calibration_lib
 from deepconsensus_tpu.io import bam, fastq
 from deepconsensus_tpu.models import checkpoint as ckpt_lib
@@ -782,17 +783,19 @@ class AsyncDispatcher:
 
 
 def _predictions_from_batch(batch, ids, quality_scores):
+  # One vectorized decode for the whole batch; per-window strings are row
+  # slices of the decoded bytes.
+  seq_bytes = constants.SEQ_VOCAB_BYTES[np.asarray(ids).astype(np.intp)]
+  qual_bytes = (np.asarray(quality_scores) + 33).astype(np.uint8)
   out = []
-  for y_pred, qs, window_pos, name, ec, np_, rq, rg in zip(
-      ids,
-      quality_scores,
+  for i, (window_pos, name, ec, np_, rq, rg) in enumerate(zip(
       batch['window_pos'],
       batch['name'],
       batch['ec'],
       batch['np_num_passes'],
       batch['rq'],
       batch['rg'],
-  ):
+  )):
     out.append(
         stitch.DCModelOutput(
             window_pos=window_pos,
@@ -801,8 +804,8 @@ def _predictions_from_batch(batch, ids, quality_scores):
             np_num_passes=np_,
             rq=rq,
             rg=rg,
-            sequence=phred.encoded_sequence_to_string(y_pred),
-            quality_string=phred.quality_scores_to_string(qs),
+            sequence=seq_bytes[i].tobytes().decode('ascii'),
+            quality_string=qual_bytes[i].tobytes().decode('ascii'),
         )
     )
   return out
