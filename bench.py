@@ -68,9 +68,9 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
   the engine's own round primitives with `lookahead` rounds in flight —
   host BAM-decode/featurization of round k+1 overlaps device compute (and
   tunnel latency) of round k, exactly as engine.run_inference pipelines in
-  production. The model runs the fused Pallas encoder (f32): +11% raw
-  forward over unfused XLA, 0 sequence changes and ~2e-5 of Q chars drift
-  on the bundled shard (tools/bench_variants.py measurement).
+  production. The model runs the fused Pallas encoder (f32): 16% faster
+  through the 6-layer stack than unfused XLA (interleaved on-chip A/B),
+  0 sequence changes and ~2e-5 of Q chars drift on the bundled shard.
   """
   import collections
   import logging
