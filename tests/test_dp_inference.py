@@ -122,3 +122,9 @@ def test_sharded_runner_nonpow2_device_count(tmp_path):
   ).astype(np.float32)
   ids, maxp = runner.predict(rows)
   assert ids.shape == (10, params.max_length)
+
+
+def test_lookahead_depth_does_not_change_output(tmp_path):
+  _, d1 = _run(tmp_path, 'la1', ['--lookahead', '1'])
+  _, d4 = _run(tmp_path, 'la4', ['--lookahead', '4'])
+  assert d1 == d4 and d1
