@@ -162,6 +162,37 @@ def decode_nibble_escape(codes_packed, esc):
   return out.reshape(-1)[:n].reshape(rows, lc)
 
 
+def unpack_wire(buf, layout):
+  """Device-side inverse of data.wire_pack: flat uint8 -> transport dict.
+
+  `layout` is the static tuple from data.wire_layout; every slice offset and
+  shape is a Python int, so this traces to static slices + reshapes that XLA
+  fuses into the downstream decode. Multi-byte dtypes are rebuilt with
+  little-endian byte arithmetic (matching numpy's .view on the host) rather
+  than a raw bitcast, so the result is platform-independent; the final
+  uint->int reinterpretation is a same-width bitcast (layout-free).
+  """
+  out = {}
+  for k, dt, shape, off in layout:
+    itemsize = np.dtype(dt).itemsize
+    n = int(np.prod(shape, dtype=np.int64))
+    raw = jax.lax.slice(buf, (off,), (off + n * itemsize,))
+    if itemsize == 1:
+      v = raw
+    else:
+      b = raw.reshape(n, itemsize)
+      u = jnp.uint16 if itemsize == 2 else jnp.uint32
+      v = b[:, 0].astype(u)
+      for i in range(1, itemsize):
+        v = v | (b[:, i].astype(u) << (8 * i))
+      if dt in ('int16', 'int32'):
+        v = jax.lax.bitcast_convert_type(
+            v, jnp.int16 if itemsize == 2 else jnp.int32
+        )
+    out[k] = v.reshape(shape)
+  return out
+
+
 def reconstruct_compact(t, length: int):
   """Device-side ragged-transport decode -> compact feature dict.
 
@@ -272,6 +303,30 @@ class ModelRunner:
     self._forward = jax.jit(forward)
     self._forward_ragged = jax.jit(forward_ragged)
     self.transport = 'ragged'
+    # Fused wire buffer: ship each ragged batch as ONE uint8 array (one
+    # host->device transfer instead of ~9 — per-transfer overhead dominates
+    # behind a network link). Bit-identical: unpack_wire is exact.
+    self.wire_transport = bool(params.get('wire_transport', True))
+    self._wire_jits: Dict[Any, Any] = {}
+    self._forward_compact_fn = forward
+
+  def _dispatch_ragged(self, ragged: Dict[str, np.ndarray]):
+    """Runs the jitted forward on a ragged transport batch (maybe fused)."""
+    if not self.wire_transport:
+      return self._forward_ragged(self.variables, ragged)
+    buf, layout = data.wire_pack(ragged)
+    fn = self._wire_jits.get(layout)
+    if fn is None:
+      L = int(self.params.max_length)
+      fwd = self._forward_compact_fn
+
+      def wire_forward(variables, buf):
+        t = unpack_wire(buf, layout)
+        return fwd(variables, reconstruct_compact(t, L))
+
+      fn = jax.jit(wire_forward)
+      self._wire_jits[layout] = fn
+    return fn(self.variables, buf)
 
   def predict_async(self, rows: np.ndarray, pass_limit=None,
                     num_passes=None):
@@ -289,7 +344,7 @@ class ModelRunner:
     padded = data.pad_batch(rows, self.batch_size)
     if num_passes is not None:
       ragged = data.ragged_from_rows(padded, num_passes, self.params)
-      out = self._forward_ragged(self.variables, ragged)
+      out = self._dispatch_ragged(ragged)
       for arr in out:
         try:
           arr.copy_to_host_async()
@@ -310,7 +365,7 @@ class ModelRunner:
 
   def predict_ragged_async(self, ragged: Dict[str, np.ndarray], n: int):
     """Enqueues a prebuilt ragged transport batch (block featurize path)."""
-    out = self._forward_ragged(self.variables, ragged)
+    out = self._dispatch_ragged(ragged)
     for arr in out:
       try:
         arr.copy_to_host_async()

@@ -567,6 +567,55 @@ class RaggedBatchBuilder:
     return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
 
+# ---------------------------------------------------------------------------
+# Fused wire buffer: one uint8 array per transport batch.
+#
+# The ragged transport is a dict of ~9 small host arrays; a jit call uploads
+# each argument as its own host->device transfer. When the chip sits behind a
+# high-latency link, per-transfer overhead dominates over bandwidth, so the
+# runner fuses each batch's transport into ONE flat uint8 buffer and the
+# compiled forward rebuilds the fields with static slices (engine.unpack_wire)
+# — bit-identical, 9x fewer transfers. The layout (field order, dtypes,
+# shapes, offsets) is a hashable tuple derived only from the transport's
+# shape signature, so the runner caches one compiled executable per layout
+# (same cardinality as the existing per-tier jit cache).
+# ---------------------------------------------------------------------------
+
+
+def wire_layout(transport: Dict[str, np.ndarray]):
+  """Static layout for a fused wire buffer: ((key, dtype, shape, offset)...).
+
+  Deterministic field order (sorted keys); offsets are byte positions into
+  the flat buffer. Returns (layout, total_bytes).
+  """
+  items = []
+  off = 0
+  for k in sorted(transport):
+    v = transport[k]
+    items.append((k, str(v.dtype), tuple(int(s) for s in v.shape), off))
+    off += int(v.nbytes)
+  return tuple(items), off
+
+
+def wire_pack(transport: Dict[str, np.ndarray]):
+  """Fuses a transport dict into one flat uint8 buffer. -> (buf, layout)."""
+  layout, total = wire_layout(transport)
+  buf = np.empty(total, np.uint8)
+  for k, _, _, off in layout:
+    a = np.ascontiguousarray(transport[k])
+    buf[off : off + a.nbytes] = a.view(np.uint8).reshape(-1)
+  return buf, layout
+
+
+def wire_unpack(buf: np.ndarray, layout) -> Dict[str, np.ndarray]:
+  """numpy inverse of wire_pack (oracle for engine.unpack_wire)."""
+  out = {}
+  for k, dt, shape, off in layout:
+    n = int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
+    out[k] = buf[off : off + n].view(dt).reshape(shape).copy()
+  return out
+
+
 def compact_from_rows(
     rows: np.ndarray, params, pass_limit: Optional[int] = None
 ) -> Dict[str, np.ndarray]:

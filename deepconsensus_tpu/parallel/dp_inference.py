@@ -112,10 +112,58 @@ class ShardedModelRunner:
     self._forward_ragged = jax.jit(forward_ragged)
     self.transport = 'ragged'
     self.num_shards = n_dev
+    # Fused wire transport (see engine.ModelRunner._dispatch_ragged): each
+    # shard's transport packs to one flat uint8 buffer; the (n_dev, nbytes)
+    # stack shards over the mesh and every device unpacks its own row.
+    self.wire_transport = bool(params.get('wire_transport', True))
+    self._wire_jits = {}
+    self._mesh_axis = axis
+    self._forward_compact_fn = forward
+
+  def _dispatch_ragged(self, ragged):
+    if not self.wire_transport:
+      return self._forward_ragged(self.variables, ragged)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from deepconsensus_tpu.inference import engine as engine_lib
+
+    subs = [
+        {k: v[s] for k, v in ragged.items()} for s in range(self.num_shards)
+    ]
+    packed = [data.wire_pack(sub) for sub in subs]
+    layout = packed[0][1]
+    buf = np.stack([b for b, _ in packed])
+    fn = self._wire_jits.get(layout)
+    if fn is None:
+      L = int(self.params.max_length)
+      fwd = self._forward_compact_fn
+
+      def wire_shard(variables, buf):
+        t = engine_lib.unpack_wire(buf[0], layout)
+        compact = engine_lib.reconstruct_compact(t, L)
+        ids, maxp = fwd(variables, compact)
+        return ids[None], maxp[None]
+
+      fw = shard_map(
+          wire_shard,
+          mesh=self.mesh,
+          in_specs=(P(), P(self._mesh_axis)),
+          out_specs=P(self._mesh_axis),
+          check_rep=False,
+      )
+
+      def wire_forward(variables, buf):
+        ids, maxp = fw(variables, buf)
+        return ids.reshape(-1, L), maxp.reshape(-1, L)
+
+      fn = jax.jit(wire_forward)
+      self._wire_jits[layout] = fn
+    return fn(self.variables, buf)
 
   def predict_ragged_async(self, ragged, n: int):
     """Enqueues a prebuilt per-shard-stacked ragged transport batch."""
-    out = self._forward_ragged(self.variables, ragged)
+    out = self._dispatch_ragged(ragged)
     for arr in out:
       try:
         arr.copy_to_host_async()
