@@ -137,29 +137,56 @@ def unpack_base3(packed, length: int):
   return ids[..., :length]
 
 
+def _inclusive_count(mask_flat):
+  """Inclusive running count of True over a flat bool array.
+
+  A two-level prefix sum — per 4096-wide chunk plus chunk offsets — because
+  a single giant 1-D cumsum lowers to a slow sequential scan on TPU
+  (~67 ms at 4M elements vs ~2 ms this way).
+  """
+  n = mask_flat.shape[0]
+  chunk = 4096
+  pad = (-n) % chunk
+  m = jnp.pad(mask_flat, (0, pad)).reshape(-1, chunk)
+  within = jnp.cumsum(m.astype(jnp.int32), axis=1)  # inclusive
+  offs = jnp.cumsum(within[:, -1]) - within[:, -1]  # exclusive chunks
+  return (within + offs[:, None]).reshape(-1)[:n]
+
+
 def decode_nibble_escape(codes_packed, esc):
   """Inverse of data.nibble_escape_encode on device.
 
   4-bit codes; 15 = take the next value from the escape stream (flat
-  row-major order). The escape index is a two-level prefix sum — per
-  4096-wide chunk plus chunk offsets — because a single giant 1-D cumsum
-  lowers to a slow sequential scan on TPU (~67 ms at 4M elements vs ~2 ms
-  this way).
+  row-major order).
   """
   codes = unpack_nibbles(codes_packed, 2 * codes_packed.shape[-1])
   rows, lc = codes.shape
   flat = codes.reshape(-1)
-  n = flat.shape[0]
-  chunk = 4096
-  pad = (-n) % chunk
-  flat_p = jnp.pad(flat, (0, pad)).reshape(-1, chunk)
-  mask = flat_p == jnp.uint8(data.PWIP_ESC_CODE)
-  within = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # inclusive
-  offs = jnp.cumsum(within[:, -1]) - within[:, -1]  # exclusive chunks
-  pos = within - 1 + offs[:, None]
+  mask = flat == jnp.uint8(data.PWIP_ESC_CODE)
+  pos = _inclusive_count(mask) - 1
   esc_v = jnp.take(esc, jnp.clip(pos, 0, esc.shape[0] - 1))
-  out = jnp.where(mask, esc_v, flat_p)
-  return out.reshape(-1)[:n].reshape(rows, lc)
+  return jnp.where(mask, esc_v, flat).reshape(rows, lc)
+
+
+def decode_dense_pwip(flat_base_ids, codes_packed, esc):
+  """Gap-elided pw/ip decode (inverse of data.dense_pwip_encode).
+
+  The dense stream holds nibble+escape codes for the non-gap positions of
+  the flat (cap_rows, L) layout in row-major order; gap positions (base id
+  0) are exactly 0 — the encoder verified that invariant, so the scatter
+  through the base-gap mask reconstructs the spaced values bit-exactly.
+  """
+  mask = flat_base_ids != 0
+  flatm = mask.reshape(-1)
+  idx = _inclusive_count(flatm) - 1  # dense-stream index per position
+  codes = unpack_nibbles(codes_packed, 2 * codes_packed.shape[-1])
+  emask = codes == jnp.uint8(data.PWIP_ESC_CODE)
+  eidx = _inclusive_count(emask) - 1
+  esc_v = jnp.take(esc, jnp.clip(eidx, 0, esc.shape[0] - 1))
+  dense = jnp.where(emask, esc_v, codes)
+  vals = jnp.take(dense, jnp.clip(idx, 0, dense.shape[0] - 1))
+  out = jnp.where(flatm, vals, jnp.uint8(0))
+  return out.reshape(mask.shape)
 
 
 def unpack_wire(buf, layout):
@@ -204,7 +231,11 @@ def reconstruct_compact(t, length: int):
   the row gather) unless the batch overflowed the escape capacity.
   """
   idx = t['row_index']
-  if 'pw_codes' in t:
+  if 'pwd_codes' in t:
+    flat_base_ids = unpack_base3(t['flat_bases'], length)
+    flat_pw = decode_dense_pwip(flat_base_ids, t['pwd_codes'], t['pwd_esc'])
+    flat_ip = decode_dense_pwip(flat_base_ids, t['ipd_codes'], t['ipd_esc'])
+  elif 'pw_codes' in t:
     flat_pw = decode_nibble_escape(t['pw_codes'], t['pw_esc'])[:, :length]
     flat_ip = decode_nibble_escape(t['ip_codes'], t['ip_esc'])[:, :length]
   else:

@@ -404,8 +404,23 @@ def ragged_from_rows(
   }
   if params.use_ccs_bq:
     out['ccs_bq'] = x[:, ccs_bq_idx[0]].astype(np.int16)
-  out.update(_encode_pwip(flat_pw, flat_ip))
+  out.update(
+      encode_pwip_transport(out['flat_bases'], flat_pw, flat_ip, L)
+  )
   return out
+
+
+def encode_pwip_transport(
+    flat_bases_packed: np.ndarray,
+    flat_pw: np.ndarray,
+    flat_ip: np.ndarray,
+    length: int,
+) -> Dict[str, np.ndarray]:
+  """Best eligible pw/ip encoding: gap-elided dense > spaced nibble > plain."""
+  dense = dense_pwip_encode(flat_bases_packed, flat_pw, flat_ip, length)
+  if dense is not None:
+    return dense
+  return _encode_pwip(flat_pw, flat_ip)
 
 
 def _encode_pwip(
@@ -426,6 +441,99 @@ def _encode_pwip(
       'ip_codes': ip_enc['codes'],
       'ip_esc': ip_enc['esc'],
   }
+
+
+# Gap-elided pw/ip transport: ~41% of spaced pw/ip values sit at gap columns
+# (base id 0), where the featurizer writes exactly 0 (spacing inserts gaps
+# into all three features together; reference: pre_lib.py space_out_subreads).
+# Those zeros are fully determined by the bases row the device already has,
+# so pw/ip ship as DENSE streams of non-gap values only (nibble+escape coded)
+# and the device scatters them back through the base-gap mask — bit-exact,
+# ~34% fewer pw/ip bytes on real HiFi data. The encoder VERIFIES the
+# pw==ip==0-at-gaps invariant and falls back to the spaced encoding when any
+# value violates it (synthetic inputs), so correctness never depends on it.
+DENSE_FRAC_TIERS = (0.45, 0.55, 0.65, 0.80)
+DENSE_ESC_FRAC = 0.45
+
+
+def dense_capacity(n: int, flat_values: int) -> Optional[int]:
+  """Smallest dense-stream tier >= n (values), or None past the top tier."""
+  for f in DENSE_FRAC_TIERS:
+    cap = -(-int(flat_values * f) // 1024) * 1024
+    if cap >= n:
+      return cap
+  return None
+
+
+def _dense_nibble_encode(dense: np.ndarray, cap: int):
+  """1-D nibble+escape encoding of a dense value stream at fixed capacity."""
+  esc_cap = -(-int(cap * DENSE_ESC_FRAC) // 512) * 512
+  mask = dense >= PWIP_ESC_CODE
+  esc_vals = dense[mask]
+  if len(esc_vals) > esc_cap:
+    return None
+  codes = np.zeros(cap, np.uint8)
+  codes[: len(dense)] = np.where(mask, np.uint8(PWIP_ESC_CODE), dense)
+  esc = np.zeros(esc_cap, np.uint8)
+  esc[: len(esc_vals)] = esc_vals
+  return {'codes': pack_nibbles(codes), 'esc': esc}
+
+
+def dense_pwip_encode(
+    flat_bases_packed: np.ndarray,
+    flat_pw: np.ndarray,
+    flat_ip: np.ndarray,
+    length: int,
+    cap: Optional[int] = None,
+) -> Optional[Dict[str, np.ndarray]]:
+  """Gap-elided pw/ip encoding, or None when ineligible (caller falls back).
+
+  Returns {'pwd_codes','pwd_esc','ipd_codes','ipd_esc'}; the dense order is
+  row-major over the (cap_rows, L) flat layout restricted to non-gap
+  positions, exactly what engine.reconstruct_compact's masked prefix-sum
+  scatter reads back. `cap` forces a dense-stream capacity (sharded builds
+  pass the max over shards so every shard shares one layout).
+  """
+  mask = unpack_base3(flat_bases_packed, length) != 0
+  if flat_pw[~mask].any() or flat_ip[~mask].any():
+    return None  # invariant violated (synthetic input): use spaced encoding
+  dense_pw = flat_pw[mask]
+  dense_ip = flat_ip[mask]
+  if cap is None:
+    cap = dense_capacity(len(dense_pw), mask.size)
+  if cap is None or cap < len(dense_pw):
+    return None
+  pw_enc = _dense_nibble_encode(dense_pw, cap)
+  ip_enc = _dense_nibble_encode(dense_ip, cap)
+  if pw_enc is None or ip_enc is None:
+    return None
+  return {
+      'pwd_codes': pw_enc['codes'],
+      'pwd_esc': pw_enc['esc'],
+      'ipd_codes': ip_enc['codes'],
+      'ipd_esc': ip_enc['esc'],
+  }
+
+
+def dense_pwip_decode(
+    flat_bases_packed: np.ndarray,
+    codes_packed: np.ndarray,
+    esc: np.ndarray,
+    length: int,
+) -> np.ndarray:
+  """numpy inverse of dense_pwip_encode for one feature (device oracle)."""
+  mask = unpack_base3(flat_bases_packed, length) != 0
+  lo = codes_packed & np.uint8(0xF)
+  hi = codes_packed >> 4
+  codes = np.stack([lo, hi], axis=-1).reshape(-1)
+  n = int(mask.sum())
+  dense_codes = codes[:n].astype(np.int64)
+  emask = dense_codes == PWIP_ESC_CODE
+  eidx = np.cumsum(emask) - 1
+  dense = np.where(emask, esc[np.clip(eidx, 0, len(esc) - 1)], dense_codes)
+  out = np.zeros(mask.shape, np.uint8)
+  out[mask] = dense.astype(np.uint8)
+  return out
 
 
 class RaggedBatchBuilder:
@@ -532,7 +640,11 @@ class RaggedBatchBuilder:
       total = self._segment_rows(self._segments)
       cap = ragged_flat_capacity(total + 1, bpad, max_passes)
       out, flat_pw, flat_ip = self._assemble(self._segments, bpad, cap)
-      out.update(_encode_pwip(flat_pw, flat_ip))
+      out.update(
+          encode_pwip_transport(
+              out['flat_bases'], flat_pw, flat_ip, int(params.max_length)
+          )
+      )
       return out
 
     # Sharded build: one independent transport per device, stacked on a
@@ -554,15 +666,38 @@ class RaggedBatchBuilder:
     parts = [
         self._assemble(segs, shard_windows, cap) for segs in shard_segments
     ]
-    pw_encs = [nibble_escape_encode(fp) for _, fp, _ in parts]
-    ip_encs = [nibble_escape_encode(fi) for _, _, fi in parts]
-    encoded = all(e is not None for e in pw_encs + ip_encs)
-    for (out, flat_pw, flat_ip), pw_e, ip_e in zip(parts, pw_encs, ip_encs):
-      if encoded:
-        out['pw_codes'], out['pw_esc'] = pw_e['codes'], pw_e['esc']
-        out['ip_codes'], out['ip_esc'] = ip_e['codes'], ip_e['esc']
-      else:
-        out['flat_pw'], out['flat_ip'] = flat_pw, flat_ip
+    # Gap-elided dense encoding first, with one dense tier shared by all
+    # shards (one transport signature per batch); spaced nibble next; plain
+    # uint8 last. Any shard falling back drops ALL shards to the next tier.
+    L = int(params.max_length)
+    dense_ns = [
+        int((unpack_base3(out['flat_bases'], L) != 0).sum())
+        for out, _, _ in parts
+    ]
+    dcap = dense_capacity(max(dense_ns), cap * L)
+    dense_encs = None
+    if dcap is not None:
+      dense_encs = [
+          dense_pwip_encode(out['flat_bases'], fp, fi, L, cap=dcap)
+          for out, fp, fi in parts
+      ]
+      if any(e is None for e in dense_encs):
+        dense_encs = None
+    if dense_encs is not None:
+      for (out, _, _), enc in zip(parts, dense_encs):
+        out.update(enc)
+    else:
+      pw_encs = [nibble_escape_encode(fp) for _, fp, _ in parts]
+      ip_encs = [nibble_escape_encode(fi) for _, _, fi in parts]
+      encoded = all(e is not None for e in pw_encs + ip_encs)
+      for (out, flat_pw, flat_ip), pw_e, ip_e in zip(
+          parts, pw_encs, ip_encs
+      ):
+        if encoded:
+          out['pw_codes'], out['pw_esc'] = pw_e['codes'], pw_e['esc']
+          out['ip_codes'], out['ip_esc'] = ip_e['codes'], ip_e['esc']
+        else:
+          out['flat_pw'], out['flat_ip'] = flat_pw, flat_ip
     dicts = [out for out, _, _ in parts]
     return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 

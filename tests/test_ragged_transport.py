@@ -65,8 +65,20 @@ def test_ragged_round_trip_equals_compact():
   # numpy mirror of the device decode
   bases = data.unpack_base3(ragged['flat_bases'][idx], L)
   np.testing.assert_array_equal(bases, compact['bases'])
-  flat_pw = data.nibble_escape_decode(ragged['pw_codes'], ragged['pw_esc'], L)
-  flat_ip = data.nibble_escape_decode(ragged['ip_codes'], ragged['ip_esc'], L)
+  if 'pwd_codes' in ragged:  # gap-elided dense encoding (real data)
+    flat_pw = data.dense_pwip_decode(
+        ragged['flat_bases'], ragged['pwd_codes'], ragged['pwd_esc'], L
+    )
+    flat_ip = data.dense_pwip_decode(
+        ragged['flat_bases'], ragged['ipd_codes'], ragged['ipd_esc'], L
+    )
+  else:
+    flat_pw = data.nibble_escape_decode(
+        ragged['pw_codes'], ragged['pw_esc'], L
+    )
+    flat_ip = data.nibble_escape_decode(
+        ragged['ip_codes'], ragged['ip_esc'], L
+    )
   np.testing.assert_array_equal(flat_pw[idx], compact['pw'])
   np.testing.assert_array_equal(flat_ip[idx], compact['ip'])
   np.testing.assert_array_equal(ragged['strand'], compact['strand'])
