@@ -1,0 +1,134 @@
+"""One-process TPU experiment: transport variants A/B on the streamed shard.
+
+Featurizes the 50-ZMW shard once, then streams the SAME WindowBlocks through
+the engine's round primitives under each transport configuration:
+
+  spaced-multi : pre-wire behavior — spaced nibble pw/ip, one host->device
+                 transfer per transport array (~9/batch)
+  spaced-wire  : spaced nibble pw/ip fused into one uint8 buffer per batch
+  dense-wire   : gap-elided dense pw/ip + fused wire buffer (the default)
+
+at one or more batch sizes. Prints one JSON line per (config, batch) with
+rounds/s and mean run_model stage seconds. Single process = single chip
+claim; run under `timeout` and leave the tunnel idle for 2-3 min before and
+after (see CLAUDE.md).
+"""
+
+import collections
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from deepconsensus_tpu.calibration import calibration as calibration_lib
+from deepconsensus_tpu.inference import engine
+from deepconsensus_tpu.models import data
+from deepconsensus_tpu.preprocess import feeder, windows
+
+import bench
+
+ROUNDS = int(os.environ.get('AB_ROUNDS', '6'))
+BATCHES = [int(b) for b in os.environ.get('AB_BATCHES', '2048,4096').split(',')]
+CONFIGS = os.environ.get('AB_CONFIGS', 'spaced-multi,spaced-wire,dense-wire')
+
+
+def featurize_blocks(params):
+  shard = bench.ensure_big_shard()
+  dc_config = windows.DcConfig(
+      params.max_passes, params.max_length, params.use_ccs_bq
+  )
+  proc_feeder, _ = feeder.create_proc_feeder(
+      subreads_to_ccs=f'{shard}/subreads_to_ccs.bam',
+      ccs_bam=f'{shard}/ccs.bam', dc_config=dc_config, ins_trim=5,
+  )
+  inputs = [(reads, zmw, cfg, ww) for reads, zmw, cfg, _, ww in proc_feeder()]
+  stats = collections.Counter()
+  timing = engine.Timing()
+  clips = engine.clip_maxima(params)
+  blocks, n_ex, n_sub = engine.featurize_round_blocks(
+      inputs, 'ab', stats, timing, clips
+  )
+  return blocks, n_ex, n_sub, len(inputs)
+
+
+def run_config(runner, options, blocks, n_ex, n_sub, label, lookahead=2):
+  """Streams ROUNDS rounds; collects device outputs (no stitch/FASTQ IO)."""
+  dispatcher = engine.AsyncDispatcher()
+  in_flight = []
+
+  def drain(state):
+    for handle in state.handles:
+      runner.collect(handle)
+
+  def finish_one():
+    drain(in_flight.pop(0).result())
+
+  # Warmup (compile) round.
+  drain(engine.enqueue_round_blocks(blocks, runner, options, 'w', n_ex,
+                                    n_sub))
+
+  t0 = time.time()
+  for r in range(ROUNDS):
+    in_flight.append(
+        dispatcher.submit(
+            engine.enqueue_round_blocks, blocks, runner, options, str(r),
+            n_ex, n_sub,
+        )
+    )
+    while len(in_flight) > lookahead:
+      finish_one()
+  while in_flight:
+    finish_one()
+  return time.time() - t0
+
+
+def main():
+  checkpoint = bench.ensure_checkpoint()
+  results = []
+  for batch_size in BATCHES:
+    runner, params = engine.load_model_for_inference(
+        checkpoint, batch_size,
+        param_overrides={'use_pallas_fused_encoder': True},
+    )
+    dc_config = windows.DcConfig(
+        params.max_passes, params.max_length, params.use_ccs_bq
+    )
+    options = engine.InferenceOptions(
+        max_length=params.max_length,
+        example_height=dc_config.tensor_height,
+        max_passes=params.max_passes,
+        min_quality=0,
+        batch_size=batch_size,
+        use_ccs_bq=params.use_ccs_bq,
+        dc_calibration_values=calibration_lib.parse_calibration_string(
+            'skip'
+        ),
+    )
+    blocks, n_ex, n_sub, n_zmws = featurize_blocks(params)
+    orig_dense = data.dense_pwip_encode
+    for config in CONFIGS.split(','):
+      runner.wire_transport = config.endswith('wire')
+      if config.startswith('spaced'):
+        data.dense_pwip_encode = lambda *a, **k: None
+      else:
+        data.dense_pwip_encode = orig_dense
+      dt = run_config(runner, options, blocks, n_ex, n_sub, config)
+      res = {
+          'config': config,
+          'batch_size': batch_size,
+          'rounds': ROUNDS,
+          'zmws_per_sec': round(ROUNDS * n_zmws / dt, 2),
+          'sec_per_round': round(dt / ROUNDS, 3),
+      }
+      results.append(res)
+      print(json.dumps(res), flush=True)
+    data.dense_pwip_encode = orig_dense
+  print(json.dumps({'all': results}))
+
+
+if __name__ == '__main__':
+  main()
