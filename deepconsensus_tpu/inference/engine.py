@@ -168,10 +168,34 @@ def decode_nibble_escape(codes_packed, esc):
   return jnp.where(mask, esc_v, flat).reshape(rows, lc)
 
 
-def decode_dense_pwip(flat_base_ids, codes_packed, esc):
+def unpack_bitcodes(packed, w: int):
+  """Device inverse of data.pack_bitcodes: 1-D bytes -> 1-D w-bit codes."""
+  if w == 4:
+    return unpack_nibbles(packed, 2 * packed.shape[-1])
+  if w == 6:
+    b = packed.reshape(-1, 3)
+    v0 = b[:, 0] & 63
+    v1 = (b[:, 0] >> 6) | ((b[:, 1] & 15) << 2)
+    v2 = (b[:, 1] >> 4) | ((b[:, 2] & 3) << 4)
+    v3 = b[:, 2] >> 2
+    return jnp.stack([v0, v1, v2, v3], -1).reshape(-1)
+  assert w == 5, w
+  b = packed.reshape(-1, 5)
+  v0 = b[:, 0] & 31
+  v1 = (b[:, 0] >> 5) | ((b[:, 1] & 3) << 3)
+  v2 = (b[:, 1] >> 2) & 31
+  v3 = (b[:, 1] >> 7) | ((b[:, 2] & 15) << 1)
+  v4 = (b[:, 2] >> 4) | ((b[:, 3] & 1) << 4)
+  v5 = (b[:, 3] >> 1) & 31
+  v6 = (b[:, 3] >> 6) | ((b[:, 4] & 7) << 2)
+  v7 = b[:, 4] >> 3
+  return jnp.stack([v0, v1, v2, v3, v4, v5, v6, v7], -1).reshape(-1)
+
+
+def decode_dense_pwip(flat_base_ids, codes_packed, esc, w: int = 4):
   """Gap-elided pw/ip decode (inverse of data.dense_pwip_encode).
 
-  The dense stream holds nibble+escape codes for the non-gap positions of
+  The dense stream holds w-bit+escape codes for the non-gap positions of
   the flat (cap_rows, L) layout in row-major order; gap positions (base id
   0) are exactly 0 — the encoder verified that invariant, so the scatter
   through the base-gap mask reconstructs the spaced values bit-exactly.
@@ -179,14 +203,23 @@ def decode_dense_pwip(flat_base_ids, codes_packed, esc):
   mask = flat_base_ids != 0
   flatm = mask.reshape(-1)
   idx = _inclusive_count(flatm) - 1  # dense-stream index per position
-  codes = unpack_nibbles(codes_packed, 2 * codes_packed.shape[-1])
-  emask = codes == jnp.uint8(data.PWIP_ESC_CODE)
+  codes = unpack_bitcodes(codes_packed, w)
+  emask = codes == jnp.uint8((1 << w) - 1)
   eidx = _inclusive_count(emask) - 1
   esc_v = jnp.take(esc, jnp.clip(eidx, 0, esc.shape[0] - 1))
   dense = jnp.where(emask, esc_v, codes)
   vals = jnp.take(dense, jnp.clip(idx, 0, dense.shape[0] - 1))
   out = jnp.where(flatm, vals, jnp.uint8(0))
   return out.reshape(mask.shape)
+
+
+def _dense_transport_entry(t, prefix: str):
+  """(codes, esc, width) for a gap-elided feature in transport t, or None."""
+  for w in data.DENSE_WIDTHS:
+    suf = data.dense_key_suffix(w)
+    if f'{prefix}_codes{suf}' in t:
+      return t[f'{prefix}_codes{suf}'], t[f'{prefix}_esc{suf}'], w
+  return None
 
 
 def unpack_wire(buf, layout):
@@ -231,10 +264,12 @@ def reconstruct_compact(t, length: int):
   the row gather) unless the batch overflowed the escape capacity.
   """
   idx = t['row_index']
-  if 'pwd_codes' in t:
+  pw_entry = _dense_transport_entry(t, 'pwd')
+  if pw_entry is not None:
+    ip_entry = _dense_transport_entry(t, 'ipd')
     flat_base_ids = unpack_base3(t['flat_bases'], length)
-    flat_pw = decode_dense_pwip(flat_base_ids, t['pwd_codes'], t['pwd_esc'])
-    flat_ip = decode_dense_pwip(flat_base_ids, t['ipd_codes'], t['ipd_esc'])
+    flat_pw = decode_dense_pwip(flat_base_ids, *pw_entry)
+    flat_ip = decode_dense_pwip(flat_base_ids, *ip_entry)
   elif 'pw_codes' in t:
     flat_pw = decode_nibble_escape(t['pw_codes'], t['pw_esc'])[:, :length]
     flat_ip = decode_nibble_escape(t['ip_codes'], t['ip_esc'])[:, :length]

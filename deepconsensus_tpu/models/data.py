@@ -453,7 +453,14 @@ def _encode_pwip(
 # pw==ip==0-at-gaps invariant and falls back to the spaced encoding when any
 # value violates it (synthetic inputs), so correctness never depends on it.
 DENSE_FRAC_TIERS = (0.45, 0.55, 0.65, 0.80)
-DENSE_ESC_FRAC = 0.45
+# Code widths the dense encoder may pick per feature per batch (w bits per
+# value; value >= 2^w-1 escapes to a full-uint8 side stream whose capacity
+# comes from a small tier ladder). On real HiFi data the dense escape rates
+# are ~0.40 / ~0.13-0.17 / ~0.02-0.05 at 4/5/6 bits, so 5-bit usually wins
+# (~0.79 bytes/value vs 0.95 for nibble+0.45-tier escapes); the host picks
+# by EXACT byte count so any distribution gets its cheapest eligible width.
+DENSE_WIDTHS = (4, 5, 6)
+ESC_FRAC_TIERS = (0.05, 0.10, 0.175, 0.25, 0.45)
 
 
 def dense_capacity(n: int, flat_values: int) -> Optional[int]:
@@ -465,18 +472,106 @@ def dense_capacity(n: int, flat_values: int) -> Optional[int]:
   return None
 
 
-def _dense_nibble_encode(dense: np.ndarray, cap: int):
-  """1-D nibble+escape encoding of a dense value stream at fixed capacity."""
-  esc_cap = -(-int(cap * DENSE_ESC_FRAC) // 512) * 512
-  mask = dense >= PWIP_ESC_CODE
+def esc_tier_capacity(cap: int, n_esc: int) -> Optional[int]:
+  """Smallest escape-stream tier >= n_esc values, or None past the top."""
+  for f in ESC_FRAC_TIERS:
+    esc_cap = -(-int(cap * f) // 512) * 512
+    if esc_cap >= n_esc:
+      return esc_cap
+  return None
+
+
+def pack_bitcodes(x: np.ndarray, w: int) -> np.ndarray:
+  """Packs a 1-D uint8 stream of w-bit codes (w in 4/5/6; len(x) % 8 == 0)."""
+  if w == 4:
+    return pack_nibbles(x)
+  v = x.astype(np.uint16)
+  if w == 6:
+    v = v.reshape(-1, 4)
+    b0 = (v[:, 0] | (v[:, 1] << 6)) & 0xFF
+    b1 = ((v[:, 1] >> 2) | (v[:, 2] << 4)) & 0xFF
+    b2 = ((v[:, 2] >> 4) | (v[:, 3] << 2)) & 0xFF
+    return np.stack([b0, b1, b2], -1).astype(np.uint8).reshape(-1)
+  assert w == 5, w
+  v = v.reshape(-1, 8)
+  b0 = (v[:, 0] | (v[:, 1] << 5)) & 0xFF
+  b1 = ((v[:, 1] >> 3) | (v[:, 2] << 2) | (v[:, 3] << 7)) & 0xFF
+  b2 = ((v[:, 3] >> 1) | (v[:, 4] << 4)) & 0xFF
+  b3 = ((v[:, 4] >> 4) | (v[:, 5] << 1) | (v[:, 6] << 6)) & 0xFF
+  b4 = ((v[:, 6] >> 2) | (v[:, 7] << 3)) & 0xFF
+  return np.stack([b0, b1, b2, b3, b4], -1).astype(np.uint8).reshape(-1)
+
+
+def unpack_bitcodes_np(packed: np.ndarray, w: int) -> np.ndarray:
+  """numpy inverse of pack_bitcodes (oracle for engine.unpack_bitcodes)."""
+  if w == 4:
+    lo = packed & np.uint8(0xF)
+    hi = packed >> 4
+    return np.stack([lo, hi], -1).reshape(-1)
+  if w == 6:
+    b = packed.reshape(-1, 3)
+    v0 = b[:, 0] & 63
+    v1 = (b[:, 0] >> 6) | ((b[:, 1] & 15) << 2)
+    v2 = (b[:, 1] >> 4) | ((b[:, 2] & 3) << 4)
+    v3 = b[:, 2] >> 2
+    return np.stack([v0, v1, v2, v3], -1).astype(np.uint8).reshape(-1)
+  assert w == 5, w
+  b = packed.reshape(-1, 5)
+  v0 = b[:, 0] & 31
+  v1 = (b[:, 0] >> 5) | ((b[:, 1] & 3) << 3)
+  v2 = (b[:, 1] >> 2) & 31
+  v3 = (b[:, 1] >> 7) | ((b[:, 2] & 15) << 1)
+  v4 = (b[:, 2] >> 4) | ((b[:, 3] & 1) << 4)
+  v5 = (b[:, 3] >> 1) & 31
+  v6 = (b[:, 3] >> 6) | ((b[:, 4] & 7) << 2)
+  v7 = b[:, 4] >> 3
+  return (
+      np.stack([v0, v1, v2, v3, v4, v5, v6, v7], -1)
+      .astype(np.uint8)
+      .reshape(-1)
+  )
+
+
+def _dense_width_cost(dense: np.ndarray, cap: int, w: int) -> Optional[int]:
+  """Wire bytes for width w at capacity cap, or None if escapes overflow."""
+  n_esc = int((dense >= (1 << w) - 1).sum())
+  esc_cap = esc_tier_capacity(cap, n_esc)
+  if esc_cap is None:
+    return None
+  return cap * w // 8 + esc_cap
+
+
+def _dense_code_encode(dense: np.ndarray, cap: int, w: int):
+  """1-D w-bit+escape encoding of a dense value stream at fixed capacity."""
+  th = np.uint8((1 << w) - 1)
+  mask = dense >= th
   esc_vals = dense[mask]
-  if len(esc_vals) > esc_cap:
+  esc_cap = esc_tier_capacity(cap, len(esc_vals))
+  if esc_cap is None:
     return None
   codes = np.zeros(cap, np.uint8)
-  codes[: len(dense)] = np.where(mask, np.uint8(PWIP_ESC_CODE), dense)
+  codes[: len(dense)] = np.where(mask, th, dense)
   esc = np.zeros(esc_cap, np.uint8)
   esc[: len(esc_vals)] = esc_vals
-  return {'codes': pack_nibbles(codes), 'esc': esc}
+  return {'codes': pack_bitcodes(codes, w), 'esc': esc}
+
+
+def dense_key_suffix(w: int) -> str:
+  """Wire key suffix carrying the code width ('' keeps 4-bit legacy keys)."""
+  return '' if w == 4 else str(w)
+
+
+def _dense_streams(
+    flat_bases_packed: np.ndarray,
+    flat_pw: np.ndarray,
+    flat_ip: np.ndarray,
+    length: int,
+):
+  """(dense_pw, dense_ip) non-gap value streams, or None if ineligible."""
+  mask = unpack_base3(flat_bases_packed, length) != 0
+  if flat_pw[~mask].any() or flat_ip[~mask].any():
+    return None  # invariant violated (synthetic input): use spaced encoding
+  return flat_pw[mask], flat_ip[mask]
 
 
 def dense_pwip_encode(
@@ -488,31 +583,73 @@ def dense_pwip_encode(
 ) -> Optional[Dict[str, np.ndarray]]:
   """Gap-elided pw/ip encoding, or None when ineligible (caller falls back).
 
-  Returns {'pwd_codes','pwd_esc','ipd_codes','ipd_esc'}; the dense order is
+  Returns {'pwd_codes[w]','pwd_esc[w]','ipd_codes[w]','ipd_esc[w]'} with the
+  per-feature code width picked by exact byte count; the dense order is
   row-major over the (cap_rows, L) flat layout restricted to non-gap
   positions, exactly what engine.reconstruct_compact's masked prefix-sum
   scatter reads back. `cap` forces a dense-stream capacity (sharded builds
   pass the max over shards so every shard shares one layout).
   """
-  mask = unpack_base3(flat_bases_packed, length) != 0
-  if flat_pw[~mask].any() or flat_ip[~mask].any():
-    return None  # invariant violated (synthetic input): use spaced encoding
-  dense_pw = flat_pw[mask]
-  dense_ip = flat_ip[mask]
+  streams = _dense_streams(flat_bases_packed, flat_pw, flat_ip, length)
+  if streams is None:
+    return None
+  dense_pw, dense_ip = streams
   if cap is None:
-    cap = dense_capacity(len(dense_pw), mask.size)
+    cap = dense_capacity(len(dense_pw), flat_pw.size)
   if cap is None or cap < len(dense_pw):
     return None
-  pw_enc = _dense_nibble_encode(dense_pw, cap)
-  ip_enc = _dense_nibble_encode(dense_ip, cap)
-  if pw_enc is None or ip_enc is None:
-    return None
-  return {
-      'pwd_codes': pw_enc['codes'],
-      'pwd_esc': pw_enc['esc'],
-      'ipd_codes': ip_enc['codes'],
-      'ipd_esc': ip_enc['esc'],
-  }
+  out = {}
+  for name, dense in (('pwd', dense_pw), ('ipd', dense_ip)):
+    best = None
+    for w in DENSE_WIDTHS:
+      cost = _dense_width_cost(dense, cap, w)
+      if cost is not None and (best is None or cost < best[0]):
+        best = (cost, w)
+    if best is None:
+      return None
+    w = best[1]
+    enc = _dense_code_encode(dense, cap, w)
+    suf = dense_key_suffix(w)
+    out[f'{name}_codes{suf}'] = enc['codes']
+    out[f'{name}_esc{suf}'] = enc['esc']
+  return out
+
+
+def _encode_dense_shards(streams, cap: int):
+  """Per-shard dense pw/ip encodings sharing one width + escape tier.
+
+  streams: [(dense_pw, dense_ip)] per shard; all shards must emit the same
+  transport signature, so the width/escape tier are chosen from the
+  per-shard maxima. Returns a list of per-shard dicts, or None.
+  """
+  out = [dict() for _ in streams]
+  for fi, name in ((0, 'pwd'), (1, 'ipd')):
+    best = None
+    for w in DENSE_WIDTHS:
+      th = (1 << w) - 1
+      esc_need = max(int((s[fi] >= th).sum()) for s in streams)
+      esc_cap = esc_tier_capacity(cap, esc_need)
+      if esc_cap is None:
+        continue
+      cost = cap * w // 8 + esc_cap
+      if best is None or cost < best[0]:
+        best = (cost, w, esc_cap)
+    if best is None:
+      return None
+    _, w, esc_cap = best
+    th = np.uint8((1 << w) - 1)
+    suf = dense_key_suffix(w)
+    for d, s in zip(out, streams):
+      dense = s[fi]
+      emask = dense >= th
+      esc_vals = dense[emask]
+      codes = np.zeros(cap, np.uint8)
+      codes[: len(dense)] = np.where(emask, th, dense)
+      esc = np.zeros(esc_cap, np.uint8)
+      esc[: len(esc_vals)] = esc_vals
+      d[f'{name}_codes{suf}'] = pack_bitcodes(codes, w)
+      d[f'{name}_esc{suf}'] = esc
+  return out
 
 
 def dense_pwip_decode(
@@ -520,15 +657,14 @@ def dense_pwip_decode(
     codes_packed: np.ndarray,
     esc: np.ndarray,
     length: int,
+    w: int = 4,
 ) -> np.ndarray:
   """numpy inverse of dense_pwip_encode for one feature (device oracle)."""
   mask = unpack_base3(flat_bases_packed, length) != 0
-  lo = codes_packed & np.uint8(0xF)
-  hi = codes_packed >> 4
-  codes = np.stack([lo, hi], axis=-1).reshape(-1)
+  codes = unpack_bitcodes_np(codes_packed, w)
   n = int(mask.sum())
   dense_codes = codes[:n].astype(np.int64)
-  emask = dense_codes == PWIP_ESC_CODE
+  emask = dense_codes == (1 << w) - 1
   eidx = np.cumsum(emask) - 1
   dense = np.where(emask, esc[np.clip(eidx, 0, len(esc) - 1)], dense_codes)
   out = np.zeros(mask.shape, np.uint8)
@@ -666,23 +802,19 @@ class RaggedBatchBuilder:
     parts = [
         self._assemble(segs, shard_windows, cap) for segs in shard_segments
     ]
-    # Gap-elided dense encoding first, with one dense tier shared by all
-    # shards (one transport signature per batch); spaced nibble next; plain
-    # uint8 last. Any shard falling back drops ALL shards to the next tier.
+    # Gap-elided dense encoding first, with one dense tier + code width +
+    # escape tier shared by all shards (one transport signature per batch);
+    # spaced nibble next; plain uint8 last. Any shard falling back drops
+    # ALL shards to the next tier.
     L = int(params.max_length)
-    dense_ns = [
-        int((unpack_base3(out['flat_bases'], L) != 0).sum())
-        for out, _, _ in parts
+    stream_list = [
+        _dense_streams(out['flat_bases'], fp, fi, L) for out, fp, fi in parts
     ]
-    dcap = dense_capacity(max(dense_ns), cap * L)
     dense_encs = None
-    if dcap is not None:
-      dense_encs = [
-          dense_pwip_encode(out['flat_bases'], fp, fi, L, cap=dcap)
-          for out, fp, fi in parts
-      ]
-      if any(e is None for e in dense_encs):
-        dense_encs = None
+    if all(s is not None for s in stream_list):
+      dcap = dense_capacity(max(len(s[0]) for s in stream_list), cap * L)
+      if dcap is not None:
+        dense_encs = _encode_dense_shards(stream_list, dcap)
     if dense_encs is not None:
       for (out, _, _), enc in zip(parts, dense_encs):
         out.update(enc)

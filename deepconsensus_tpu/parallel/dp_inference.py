@@ -85,7 +85,6 @@ class ShardedModelRunner:
     # build(num_shards), stacked on a leading axis) and shard_map runs the
     # single-chip reconstruction + forward on each device's own shard —
     # the flat-array gather never crosses devices, so no collectives.
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     L = int(params.max_length)
@@ -97,12 +96,11 @@ class ShardedModelRunner:
       ids, maxp = forward(variables, compact)
       return ids[None], maxp[None]
 
-    fr = shard_map(
+    fr = mesh_lib.shard_map(
         forward_ragged_shard,
         mesh=self.mesh,
         in_specs=(P(), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
     )
 
     def forward_ragged(variables, t):
@@ -123,7 +121,6 @@ class ShardedModelRunner:
   def _dispatch_ragged(self, ragged):
     if not self.wire_transport:
       return self._forward_ragged(self.variables, ragged)
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from deepconsensus_tpu.inference import engine as engine_lib
@@ -145,12 +142,11 @@ class ShardedModelRunner:
         ids, maxp = fwd(variables, compact)
         return ids[None], maxp[None]
 
-      fw = shard_map(
+      fw = mesh_lib.shard_map(
           wire_shard,
           mesh=self.mesh,
           in_specs=(P(), P(self._mesh_axis)),
           out_specs=P(self._mesh_axis),
-          check_rep=False,
       )
 
       def wire_forward(variables, buf):

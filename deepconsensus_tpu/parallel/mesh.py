@@ -21,6 +21,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 
 
+def shard_map(f, *, mesh, in_specs, out_specs):
+  """Version-proof shard_map with replication checking off.
+
+  jax>=0.8 moved shard_map out of jax.experimental and renamed check_rep
+  to check_vma; this shim targets whichever exists (the engine's per-shard
+  transports are genuinely unreplicated, so the check must stay off).
+  """
+  if hasattr(jax, 'shard_map'):
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+  from jax.experimental.shard_map import shard_map as _sm
+
+  return _sm(
+      f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+  )
+
+
 def make_mesh(num_devices: Optional[int] = None) -> Mesh:
   """Builds a 1-D data-parallel mesh over the first num_devices devices."""
   devices = jax.devices()

@@ -2,10 +2,12 @@
 
 The encoding is only eligible when pw==ip==0 at every gap column (true for
 all real featurizer output; the encoder verifies it), must round-trip
-bit-exactly, and must leave forward results identical to the spaced path.
+bit-exactly at every code width, and must leave forward results identical
+to the spaced path.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -19,7 +21,16 @@ def _params():
   return params
 
 
-def _invariant_rows(params, b=12, seed=0):
+def _entry(t, prefix):
+  """(codes, esc, width) for a dense feature in a transport dict, or None."""
+  for w in data.DENSE_WIDTHS:
+    suf = data.dense_key_suffix(w)
+    if f'{prefix}_codes{suf}' in t:
+      return t[f'{prefix}_codes{suf}'], t[f'{prefix}_esc{suf}'], w
+  return None
+
+
+def _invariant_rows(params, b=12, seed=0, mean=6.0):
   """Random rows where pw/ip are zero exactly at gap columns of bases."""
   rng = np.random.default_rng(seed)
   rows = rng.integers(
@@ -33,9 +44,9 @@ def _invariant_rows(params, b=12, seed=0):
   rows[:, base_idx[0] : base_idx[0] + mp] = bases
   gap = bases == 0
   for idx in (pw_idx, ip_idx):
-    # HiFi-like skewed values (escape rate well under the dense tier);
+    # HiFi-like skewed values (escape rate well under the top tier);
     # occasional large outliers exercise the escape stream.
-    vals = rng.poisson(6.0, size=(b, mp, params.max_length, 1)).astype(
+    vals = rng.poisson(mean, size=(b, mp, params.max_length, 1)).astype(
         np.float64
     )
     vals[rng.random(vals.shape) < 0.01] = 200.0
@@ -46,18 +57,28 @@ def _invariant_rows(params, b=12, seed=0):
   return rows, num_passes
 
 
+@pytest.mark.parametrize('w', data.DENSE_WIDTHS)
+def test_pack_bitcodes_round_trip_all_values(w):
+  rng = np.random.default_rng(w)
+  x = rng.integers(0, 1 << w, size=4096).astype(np.uint8)
+  packed = data.pack_bitcodes(x, w)
+  assert packed.nbytes == 4096 * w // 8
+  np.testing.assert_array_equal(data.unpack_bitcodes_np(packed, w), x)
+  dev = np.asarray(jax.jit(
+      lambda p: engine.unpack_bitcodes(p, w)
+  )(packed))
+  np.testing.assert_array_equal(dev, x)
+
+
 def test_dense_encode_numpy_round_trip():
   params = _params()
   rows, num_passes = _invariant_rows(params)
   t = data.ragged_from_rows(rows, num_passes, params)
-  assert 'pwd_codes' in t, sorted(t)  # dense eligible on invariant data
+  pw_e, ip_e = _entry(t, 'pwd'), _entry(t, 'ipd')
+  assert pw_e is not None and ip_e is not None, sorted(t)
   L = int(params.max_length)
-  # Rebuild the spaced flat arrays from a fallback-forced encode.
-  t_spaced = dict(t)
-  for k in ('pwd_codes', 'pwd_esc', 'ipd_codes', 'ipd_esc'):
-    t_spaced.pop(k)
-  pw = data.dense_pwip_decode(t['flat_bases'], t['pwd_codes'], t['pwd_esc'], L)
-  ip = data.dense_pwip_decode(t['flat_bases'], t['ipd_codes'], t['ipd_esc'], L)
+  pw = data.dense_pwip_decode(t['flat_bases'], pw_e[0], pw_e[1], L, pw_e[2])
+  ip = data.dense_pwip_decode(t['flat_bases'], ip_e[0], ip_e[1], L, ip_e[2])
   mask = data.unpack_base3(t['flat_bases'], L) != 0
   assert pw[~mask].sum() == 0 and ip[~mask].sum() == 0
   # Cross-check against the spaced plain encoding of the same rows.
@@ -66,7 +87,21 @@ def test_dense_encode_numpy_round_trip():
   np.testing.assert_array_equal(ip, t2['flat_ip'])
 
 
-def _spaced_transport(rows, num_passes, params, monkeypatch=None):
+def test_width_adapts_to_value_distribution():
+  params = _params()
+  # Small values (mean 2): nearly everything fits in 4 bits -> width 4.
+  rows, num_passes = _invariant_rows(params, seed=11, mean=2.0)
+  t4 = data.ragged_from_rows(rows, num_passes, params)
+  # Heavy values (mean 40): most values escape 4-bit -> width 6 wins.
+  rows, num_passes = _invariant_rows(params, seed=12, mean=40.0)
+  t6 = data.ragged_from_rows(rows, num_passes, params)
+  w4 = _entry(t4, 'pwd')
+  w6 = _entry(t6, 'pwd')
+  assert w4 is not None and w6 is not None
+  assert w4[2] < w6[2], (w4[2], w6[2])
+
+
+def _spaced_transport(rows, num_passes, params):
   """ragged_from_rows with the dense encoding disabled (plain uint8 pw/ip)."""
   import unittest.mock as mock
 
@@ -85,25 +120,23 @@ def test_invariant_violation_falls_back():
   ).astype(np.float32)  # pw/ip nonzero everywhere incl. gap columns
   num_passes = [3] * 6
   t = data.ragged_from_rows(rows, num_passes, params)
-  assert 'pwd_codes' not in t
+  assert _entry(t, 'pwd') is None
 
 
 def test_device_decode_matches_numpy():
   params = _params()
   rows, num_passes = _invariant_rows(params, seed=5)
   t = data.ragged_from_rows(rows, num_passes, params)
-  assert 'pwd_codes' in t
   L = int(params.max_length)
   base_ids = data.unpack_base3(t['flat_bases'], L)
-  jitted = jax.jit(
-      lambda b, c, e: engine.decode_dense_pwip(b, c, e)
-  )
-  for codes, esc in (
-      (t['pwd_codes'], t['pwd_esc']),
-      (t['ipd_codes'], t['ipd_esc']),
-  ):
-    dev = np.asarray(jitted(base_ids, codes, esc))
-    ref = data.dense_pwip_decode(t['flat_bases'], codes, esc, L)
+  for prefix in ('pwd', 'ipd'):
+    codes, esc, w = _entry(t, prefix)
+    dev = np.asarray(
+        jax.jit(lambda b, c, e: engine.decode_dense_pwip(b, c, e, w))(
+            base_ids, codes, esc
+        )
+    )
+    ref = data.dense_pwip_decode(t['flat_bases'], codes, esc, L, w)
     np.testing.assert_array_equal(dev, ref)
 
 
@@ -117,10 +150,35 @@ def test_forward_identical_dense_vs_spaced():
   rows, num_passes = _invariant_rows(params, b=16, seed=7)
   padded = data.pad_batch(rows, 16)
   t_dense = data.ragged_from_rows(padded, num_passes, params)
-  assert 'pwd_codes' in t_dense
+  assert _entry(t_dense, 'pwd') is not None
   t_spaced = _spaced_transport(padded, num_passes, params)
   assert 'flat_pw' in t_spaced
   out_d = runner.collect(runner.predict_ragged_async(t_dense, 16))
   out_s = runner.collect(runner.predict_ragged_async(t_spaced, 16))
   np.testing.assert_array_equal(out_d[0], out_s[0])
   np.testing.assert_array_equal(out_d[1], out_s[1])
+
+
+def test_encode_dense_shards_shares_one_signature():
+  """Shards with different value mixes must emit one shared layout."""
+  rng = np.random.default_rng(13)
+  light = rng.poisson(2.0, size=5000).clip(0, 255).astype(np.uint8)
+  heavy = rng.poisson(40.0, size=4000).clip(0, 255).astype(np.uint8)
+  streams = [(light, light), (heavy, heavy)]
+  cap = data.dense_capacity(5000, 8000)
+  encs = data._encode_dense_shards(streams, cap)
+  assert encs is not None
+  assert sorted(encs[0]) == sorted(encs[1])
+  for k in encs[0]:
+    assert encs[0][k].shape == encs[1][k].shape, k
+  # Round-trip each shard through the chosen width.
+  for enc, (pw, _) in zip(encs, streams):
+    (ck,) = [k for k in enc if k.startswith('pwd_codes')]
+    w = 4 if ck == 'pwd_codes' else int(ck[len('pwd_codes'):])
+    codes = data.unpack_bitcodes_np(enc[ck], w)[: len(pw)]
+    th = (1 << w) - 1
+    emask = codes == th
+    esc = enc[ck.replace('codes', 'esc')]
+    eidx = np.cumsum(emask) - 1
+    vals = np.where(emask, esc[np.clip(eidx, 0, len(esc) - 1)], codes)
+    np.testing.assert_array_equal(vals.astype(np.uint8), pw)

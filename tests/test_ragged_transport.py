@@ -65,12 +65,26 @@ def test_ragged_round_trip_equals_compact():
   # numpy mirror of the device decode
   bases = data.unpack_base3(ragged['flat_bases'][idx], L)
   np.testing.assert_array_equal(bases, compact['bases'])
-  if 'pwd_codes' in ragged:  # gap-elided dense encoding (real data)
+  dense_keys = {
+      p: next(
+          (
+              (f'{p}_codes{data.dense_key_suffix(w)}',
+               f'{p}_esc{data.dense_key_suffix(w)}', w)
+              for w in data.DENSE_WIDTHS
+              if f'{p}_codes{data.dense_key_suffix(w)}' in ragged
+          ),
+          None,
+      )
+      for p in ('pwd', 'ipd')
+  }
+  if dense_keys['pwd']:  # gap-elided dense encoding (real data)
+    ck, ek, w = dense_keys['pwd']
     flat_pw = data.dense_pwip_decode(
-        ragged['flat_bases'], ragged['pwd_codes'], ragged['pwd_esc'], L
+        ragged['flat_bases'], ragged[ck], ragged[ek], L, w
     )
+    ck, ek, w = dense_keys['ipd']
     flat_ip = data.dense_pwip_decode(
-        ragged['flat_bases'], ragged['ipd_codes'], ragged['ipd_esc'], L
+        ragged['flat_bases'], ragged[ck], ragged[ek], L, w
     )
   else:
     flat_pw = data.nibble_escape_decode(
