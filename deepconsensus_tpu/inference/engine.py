@@ -263,7 +263,19 @@ def reconstruct_compact(t, length: int):
   of the dense layout. pw/ip arrive nibble+escape encoded (decoded before
   the row gather) unless the batch overflowed the escape capacity.
   """
-  idx = t['row_index']
+  if 'passes' in t:
+    # Flat rows are window-major contiguous, so the gather-index matrix
+    # expands from one uint8 pass count per window (row 0 = sentinel).
+    # The cumsum spans only the batch size (<= 4096) — cheap even as a
+    # sequential scan.
+    p = t['passes'].astype(jnp.int32)
+    off = jnp.cumsum(p) - p
+    j = jnp.arange(t['strand'].shape[-1], dtype=jnp.int32)
+    idx = jnp.where(
+        j[None, :] < p[:, None], 1 + off[:, None] + j[None, :], 0
+    )
+  else:
+    idx = t['row_index']  # legacy/synthetic transports
   pw_entry = _dense_transport_entry(t, 'pwd')
   if pw_entry is not None:
     ip_entry = _dense_transport_entry(t, 'ipd')

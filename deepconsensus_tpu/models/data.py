@@ -332,6 +332,21 @@ def row_index_dtype(cap: int):
   return np.uint16 if cap <= np.iinfo(np.uint16).max else np.int32
 
 
+def row_index_from_passes(p: np.ndarray, max_passes: int) -> np.ndarray:
+  """(B, max_passes) flat-row gather indices from per-window pass counts.
+
+  numpy oracle for the device-side expansion in engine.reconstruct_compact;
+  valid because both transport producers fill flat rows window-major
+  contiguously (flat row 0 is the zeros sentinel).
+  """
+  p = p.astype(np.int64)
+  off = np.cumsum(p) - p
+  j = np.arange(max_passes)
+  return np.where(
+      j[None, :] < p[:, None], 1 + off[:, None] + j[None, :], 0
+  ).astype(np.int32)
+
+
 def ragged_flat_capacity(n_rows: int, batch: int, max_passes: int) -> int:
   """Smallest flat-array tier (incl. the zeros sentinel row) >= n_rows."""
   for m in RAGGED_ROW_TIERS:
@@ -390,12 +405,14 @@ def ragged_from_rows(
   flat_pw[1 : total + 1] = x[win, pw_idx[0] + row].astype(np.uint8)
   flat_ip = np.zeros((cap, L), np.uint8)
   flat_ip[1 : total + 1] = x[win, ip_idx[0] + row].astype(np.uint8)
-  idt = row_index_dtype(cap)
-  row_index = np.zeros((B, params.max_passes), idt)
-  row_index[win, row] = (1 + np.arange(total)).astype(idt)
 
   out = {
-      'row_index': row_index,
+      # Flat rows are window-major contiguous, so the (B, max_passes)
+      # gather-index matrix is fully determined by the per-window pass
+      # count: row_index[w, j] = 1 + cumsum(p)[w-1] + j for j < p[w]
+      # (row_index_from_passes / engine device decode). One uint8 per
+      # window instead of max_passes uint16s.
+      'passes': p.astype(np.uint8),
       'flat_bases': flat_bases,
       'strand': x[:, strand_idx[0] : strand_idx[0] + params.max_passes, 0]
       .astype(np.uint8),
@@ -727,8 +744,7 @@ class RaggedBatchBuilder:
     flat_bases = np.zeros((cap, lp), np.uint8)
     flat_pw = np.zeros((cap, L), np.uint8)
     flat_ip = np.zeros((cap, L), np.uint8)
-    idt = row_index_dtype(cap)
-    row_index = np.zeros((bpad, max_passes), idt)
+    passes = np.zeros(bpad, np.uint8)
     strand = np.zeros((bpad, max_passes), np.uint8)
     sn = np.zeros((bpad, 4), np.uint16)
     ccs_ids = np.zeros((bpad, L), np.uint8)
@@ -746,9 +762,7 @@ class RaggedBatchBuilder:
       )
       flat_pw[1 + ofs : 1 + ofs + cnt] = block.pw[i0:i1, :k].reshape(cnt, L)
       flat_ip[1 + ofs : 1 + ofs + cnt] = block.ip[i0:i1, :k].reshape(cnt, L)
-      row_index[w0 : w0 + nw, :k] = (
-          1 + ofs + np.arange(cnt)
-      ).astype(idt).reshape(nw, k)
+      passes[w0 : w0 + nw] = k
       strand[w0 : w0 + nw, :k] = block.strand[None, :k]
       sn[w0 : w0 + nw] = block.sn[None, :]
       ccs_ids[w0 : w0 + nw] = block.ccs[i0:i1]
@@ -759,7 +773,7 @@ class RaggedBatchBuilder:
 
     out = {
         'flat_bases': flat_bases,
-        'row_index': row_index,
+        'passes': passes,
         'strand': strand,
         'ccs': pack_base3(ccs_ids),
         'sn': sn,

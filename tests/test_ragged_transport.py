@@ -60,7 +60,7 @@ def test_ragged_round_trip_equals_compact():
   ragged = data.ragged_from_rows(rows, passes, params)
   compact = data.compact_from_rows(rows, params)  # full max_passes
 
-  idx = ragged['row_index']
+  idx = data.row_index_from_passes(ragged['passes'], params.max_passes)
   P, L = params.max_passes, params.max_length
   # numpy mirror of the device decode
   bases = data.unpack_base3(ragged['flat_bases'][idx], L)
