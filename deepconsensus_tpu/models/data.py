@@ -432,9 +432,12 @@ def encode_pwip_transport(
     flat_pw: np.ndarray,
     flat_ip: np.ndarray,
     length: int,
+    trusted: bool = False,
 ) -> Dict[str, np.ndarray]:
   """Best eligible pw/ip encoding: gap-elided dense > spaced nibble > plain."""
-  dense = dense_pwip_encode(flat_bases_packed, flat_pw, flat_ip, length)
+  dense = dense_pwip_encode(
+      flat_bases_packed, flat_pw, flat_ip, length, trusted=trusted
+  )
   if dense is not None:
     return dense
   return _encode_pwip(flat_pw, flat_ip)
@@ -549,9 +552,20 @@ def unpack_bitcodes_np(packed: np.ndarray, w: int) -> np.ndarray:
   )
 
 
-def _dense_width_cost(dense: np.ndarray, cap: int, w: int) -> Optional[int]:
+def _esc_counts(dense: np.ndarray) -> Dict[int, int]:
+  """{width: count of values that escape at that width}, one bincount pass."""
+  hist = np.bincount(dense, minlength=256)
+  below = np.cumsum(hist)  # below[t] = count of values <= t
+  n = len(dense)
+  return {w: n - int(below[(1 << w) - 2]) for w in DENSE_WIDTHS}
+
+
+def _dense_width_cost(
+    dense: np.ndarray, cap: int, w: int, n_esc: Optional[int] = None
+) -> Optional[int]:
   """Wire bytes for width w at capacity cap, or None if escapes overflow."""
-  n_esc = int((dense >= (1 << w) - 1).sum())
+  if n_esc is None:
+    n_esc = int((dense >= (1 << w) - 1).sum())
   esc_cap = esc_tier_capacity(cap, n_esc)
   if esc_cap is None:
     return None
@@ -561,13 +575,12 @@ def _dense_width_cost(dense: np.ndarray, cap: int, w: int) -> Optional[int]:
 def _dense_code_encode(dense: np.ndarray, cap: int, w: int):
   """1-D w-bit+escape encoding of a dense value stream at fixed capacity."""
   th = np.uint8((1 << w) - 1)
-  mask = dense >= th
-  esc_vals = dense[mask]
+  esc_vals = dense[dense >= th]
   esc_cap = esc_tier_capacity(cap, len(esc_vals))
   if esc_cap is None:
     return None
   codes = np.zeros(cap, np.uint8)
-  codes[: len(dense)] = np.where(mask, th, dense)
+  np.minimum(dense, th, out=codes[: len(dense)])  # values >= th -> escape
   esc = np.zeros(esc_cap, np.uint8)
   esc[: len(esc_vals)] = esc_vals
   return {'codes': pack_bitcodes(codes, w), 'esc': esc}
@@ -583,12 +596,30 @@ def _dense_streams(
     flat_pw: np.ndarray,
     flat_ip: np.ndarray,
     length: int,
+    trusted: bool = False,
 ):
-  """(dense_pw, dense_ip) non-gap value streams, or None if ineligible."""
-  mask = unpack_base3(flat_bases_packed, length) != 0
-  if flat_pw[~mask].any() or flat_ip[~mask].any():
-    return None  # invariant violated (synthetic input): use spaced encoding
-  return flat_pw[mask], flat_ip[mask]
+  """(dense_pw, dense_ip) non-gap value streams, or None if ineligible.
+
+  trusted=True skips the zeros-at-gaps invariant check: WindowBlock arrays
+  hold it BY CONSTRUCTION (expand_clip_indent zero-fills pw/ip at deletion
+  and padding columns, and zmw_window_block scatters into zero-init arrays
+  whose untouched columns ARE the gaps; equality with the checked path is
+  pinned by tests/test_window_block.py). ragged_from_rows takes arbitrary
+  dense rows, so it must keep the check.
+  """
+  nz = np.flatnonzero(unpack_base3(flat_bases_packed, length).reshape(-1))
+  fpw = flat_pw.reshape(-1)
+  fip = flat_ip.reshape(-1)
+  dense_pw = fpw[nz]
+  dense_ip = fip[nz]
+  if not trusted:
+    # Invariant: every nonzero pw/ip sits at a non-gap (nonzero base)
+    # position — then and only then does the masked scatter round-trip.
+    if np.count_nonzero(fpw) != np.count_nonzero(dense_pw) or (
+        np.count_nonzero(fip) != np.count_nonzero(dense_ip)
+    ):
+      return None
+  return dense_pw, dense_ip
 
 
 def dense_pwip_encode(
@@ -597,6 +628,7 @@ def dense_pwip_encode(
     flat_ip: np.ndarray,
     length: int,
     cap: Optional[int] = None,
+    trusted: bool = False,
 ) -> Optional[Dict[str, np.ndarray]]:
   """Gap-elided pw/ip encoding, or None when ineligible (caller falls back).
 
@@ -607,7 +639,9 @@ def dense_pwip_encode(
   scatter reads back. `cap` forces a dense-stream capacity (sharded builds
   pass the max over shards so every shard shares one layout).
   """
-  streams = _dense_streams(flat_bases_packed, flat_pw, flat_ip, length)
+  streams = _dense_streams(
+      flat_bases_packed, flat_pw, flat_ip, length, trusted=trusted
+  )
   if streams is None:
     return None
   dense_pw, dense_ip = streams
@@ -617,9 +651,10 @@ def dense_pwip_encode(
     return None
   out = {}
   for name, dense in (('pwd', dense_pw), ('ipd', dense_ip)):
+    n_escs = _esc_counts(dense)
     best = None
     for w in DENSE_WIDTHS:
-      cost = _dense_width_cost(dense, cap, w)
+      cost = _dense_width_cost(dense, cap, w, n_esc=n_escs[w])
       if cost is not None and (best is None or cost < best[0]):
         best = (cost, w)
     if best is None:
@@ -641,10 +676,10 @@ def _encode_dense_shards(streams, cap: int):
   """
   out = [dict() for _ in streams]
   for fi, name in ((0, 'pwd'), (1, 'ipd')):
+    shard_escs = [_esc_counts(s[fi]) for s in streams]
     best = None
     for w in DENSE_WIDTHS:
-      th = (1 << w) - 1
-      esc_need = max(int((s[fi] >= th).sum()) for s in streams)
+      esc_need = max(e[w] for e in shard_escs)
       esc_cap = esc_tier_capacity(cap, esc_need)
       if esc_cap is None:
         continue
@@ -658,10 +693,9 @@ def _encode_dense_shards(streams, cap: int):
     suf = dense_key_suffix(w)
     for d, s in zip(out, streams):
       dense = s[fi]
-      emask = dense >= th
-      esc_vals = dense[emask]
+      esc_vals = dense[dense >= th]
       codes = np.zeros(cap, np.uint8)
-      codes[: len(dense)] = np.where(emask, th, dense)
+      np.minimum(dense, th, out=codes[: len(dense)])
       esc = np.zeros(esc_cap, np.uint8)
       esc[: len(esc_vals)] = esc_vals
       d[f'{name}_codes{suf}'] = pack_bitcodes(codes, w)
@@ -792,7 +826,9 @@ class RaggedBatchBuilder:
       out, flat_pw, flat_ip = self._assemble(self._segments, bpad, cap)
       out.update(
           encode_pwip_transport(
-              out['flat_bases'], flat_pw, flat_ip, int(params.max_length)
+              out['flat_bases'], flat_pw, flat_ip, int(params.max_length),
+              trusted=True,  # WindowBlock arrays: zeros-at-gaps holds by
+                             # construction (see _dense_streams)
           )
       )
       return out
@@ -822,7 +858,8 @@ class RaggedBatchBuilder:
     # ALL shards to the next tier.
     L = int(params.max_length)
     stream_list = [
-        _dense_streams(out['flat_bases'], fp, fi, L) for out, fp, fi in parts
+        _dense_streams(out['flat_bases'], fp, fi, L, trusted=True)
+        for out, fp, fi in parts
     ]
     dense_encs = None
     if all(s is not None for s in stream_list):
