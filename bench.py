@@ -81,7 +81,7 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3):
   from deepconsensus_tpu.postprocess import stitch
   from deepconsensus_tpu.preprocess import feeder, windows
 
-  batch_size = 2048
+  batch_size = int(os.environ.get('DC_BENCH_BATCH', '2048'))
   runner, params = engine.load_model_for_inference(
       checkpoint, batch_size,
       param_overrides={'use_pallas_fused_encoder': True},
@@ -328,7 +328,11 @@ def main():
   checkpoint = ensure_checkpoint()
   # Headline metric first: if the tunnel wedges mid-run, the watchdog
   # fallback already has the number that matters.
-  zmws_per_sec = bench_full_pipeline(checkpoint)
+  zmws_per_sec = bench_full_pipeline(
+      checkpoint,
+      rounds=int(os.environ.get('DC_BENCH_ROUNDS', '10')),
+      lookahead=int(os.environ.get('DC_BENCH_LOOKAHEAD', '3')),
+  )
   _partial['zmws_per_sec'] = zmws_per_sec
   windows_per_sec = bench_model_windows(checkpoint)
   signal.alarm(0)

@@ -385,7 +385,11 @@ class ModelRunner:
     # host->device transfer instead of ~9 — per-transfer overhead dominates
     # behind a network link). Bit-identical: unpack_wire is exact.
     self.wire_transport = bool(params.get('wire_transport', True))
+    # Round-fused upload: one device_put for a whole round of wire batches
+    # (see predict_round_async).
+    self.round_upload = bool(params.get('round_upload', True))
     self._wire_jits: Dict[Any, Any] = {}
+    self._round_jits: Dict[Any, Any] = {}
     self._forward_compact_fn = forward
 
   def _dispatch_ragged(self, ragged: Dict[str, np.ndarray]):
@@ -405,6 +409,57 @@ class ModelRunner:
       fn = jax.jit(wire_forward)
       self._wire_jits[layout] = fn
     return fn(self.variables, buf)
+
+  # Granularity the fused round buffer pads to: coarse enough to keep the
+  # number of distinct compiled (layout, round-size) pairs tiny, small
+  # enough (<2% of a typical 13 MB round) not to waste link bytes.
+  ROUND_PAD = 256 * 1024
+
+  def predict_round_async(self, transports):
+    """Enqueues a whole round of wire batches behind ONE host->device put.
+
+    transports: [(ragged_dict, n_windows)]. The per-batch wire buffers
+    concatenate into a single padded uint8 buffer uploaded once; each
+    batch's compiled forward slices its span on device (offset is a traced
+    scalar, so one executable serves any batch position). Behind a
+    high-latency link this turns 4 upload RPCs per round into 1.
+    """
+    packed = [data.wire_pack(t) for t, _ in transports]
+    total = sum(b.nbytes for b, _ in packed)
+    padded = -(-total // self.ROUND_PAD) * self.ROUND_PAD
+    round_buf = np.zeros(padded, np.uint8)
+    offsets = []
+    off = 0
+    for b, _ in packed:
+      round_buf[off : off + b.nbytes] = b
+      offsets.append(off)
+      off += b.nbytes
+    dev_buf = jax.device_put(round_buf)
+    out = []
+    for (buf, layout), (_, n), off in zip(packed, transports, offsets):
+      size = buf.nbytes
+      key = (layout, padded)
+      fn = self._round_jits.get(key)
+      if fn is None:
+        L = int(self.params.max_length)
+        fwd = self._forward_compact_fn
+
+        def round_forward(variables, round_buf, off, _size=size,
+                          _layout=layout):
+          b = jax.lax.dynamic_slice(round_buf, (off,), (_size,))
+          t = unpack_wire(b, _layout)
+          return fwd(variables, reconstruct_compact(t, L))
+
+        fn = jax.jit(round_forward)
+        self._round_jits[key] = fn
+      res = fn(self.variables, dev_buf, np.int32(off))
+      for arr in res:
+        try:
+          arr.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+          break
+      out.append((res, n))
+    return out
 
   def predict_async(self, rows: np.ndarray, pass_limit=None,
                     num_passes=None):
@@ -647,6 +702,14 @@ def enqueue_round_blocks(
   num_shards = getattr(runner, 'num_shards', 1)
   builder = data.RaggedBatchBuilder(params, options.batch_size)
   meta: Dict[str, List[Any]] = {k: [] for k in meta_keys}
+  # Round-fused upload: buffer the round's transports and ship them behind
+  # a single device_put (single-device wire runners only).
+  fuse_round = bool(
+      getattr(runner, 'round_upload', False)
+      and getattr(runner, 'wire_transport', False)
+      and num_shards == 1
+  )
+  pending: List[Any] = []
 
   def flush():
     nonlocal builder, meta
@@ -654,7 +717,10 @@ def enqueue_round_blocks(
       return
     transport = builder.build(num_shards)
     batches.append(meta)
-    handles.append(runner.predict_ragged_async(transport, builder.n))
+    if fuse_round:
+      pending.append((transport, builder.n))
+    else:
+      handles.append(runner.predict_ragged_async(transport, builder.n))
     builder = data.RaggedBatchBuilder(params, options.batch_size)
     meta = {k: [] for k in meta_keys}
 
@@ -697,6 +763,8 @@ def enqueue_round_blocks(
         if not builder.room:
           flush()
   flush()
+  if fuse_round and pending:
+    handles.extend(runner.predict_round_async(pending))
   return _RoundState(
       batch_name=batch_name,
       batches=batches,

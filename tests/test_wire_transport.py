@@ -94,6 +94,24 @@ def test_model_runner_wire_matches_multi_array_ragged():
   np.testing.assert_array_equal(out_w[1], out_m[1])
 
 
+def test_round_fused_upload_matches_per_batch():
+  """predict_round_async == per-batch predict_ragged_async, bit for bit."""
+  params = _params()
+  runner = _init_runner(engine.ModelRunner, params, 16)
+  transports = []
+  for seed in (21, 22, 23):
+    rows, num_passes = _random_rows(params, b=16, seed=seed)
+    transports.append(
+        (data.ragged_from_rows(rows, num_passes, params), 16)
+    )
+  fused = runner.predict_round_async(transports)
+  for (t, n), handle in zip(transports, fused):
+    ids_f, maxp_f = runner.collect(handle)
+    ids_b, maxp_b = runner.collect(runner.predict_ragged_async(t, n))
+    np.testing.assert_array_equal(ids_f, ids_b)
+    np.testing.assert_array_equal(maxp_f, maxp_b)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
 def test_sharded_runner_wire_matches_multi_array():
   params = _params()

@@ -6,7 +6,8 @@ the engine's round primitives under each transport configuration:
   spaced-multi : pre-wire behavior — spaced nibble pw/ip, one host->device
                  transfer per transport array (~9/batch)
   spaced-wire  : spaced nibble pw/ip fused into one uint8 buffer per batch
-  dense-wire   : gap-elided dense pw/ip + fused wire buffer (the default)
+  dense-wire   : gap-elided dense pw/ip + fused wire buffer per batch
+  dense-round  : dense + whole round behind ONE device_put (the default)
 
 at one or more batch sizes. Prints one JSON line per (config, batch) with
 rounds/s and mean run_model stage seconds. Single process = single chip
@@ -33,7 +34,9 @@ import bench
 
 ROUNDS = int(os.environ.get('AB_ROUNDS', '6'))
 BATCHES = [int(b) for b in os.environ.get('AB_BATCHES', '2048,4096').split(',')]
-CONFIGS = os.environ.get('AB_CONFIGS', 'spaced-multi,spaced-wire,dense-wire')
+CONFIGS = os.environ.get(
+    'AB_CONFIGS', 'spaced-multi,spaced-wire,dense-wire,dense-round'
+)
 
 
 def featurize_blocks(params):
@@ -110,12 +113,16 @@ def main():
     )
     blocks, n_ex, n_sub, n_zmws = featurize_blocks(params)
     orig_dense = data.dense_pwip_encode
+    orig_streams = data._dense_streams
     for config in CONFIGS.split(','):
-      runner.wire_transport = config.endswith('wire')
+      runner.wire_transport = config != 'spaced-multi'
+      runner.round_upload = config.endswith('round')
       if config.startswith('spaced'):
         data.dense_pwip_encode = lambda *a, **k: None
+        data._dense_streams = lambda *a, **k: None
       else:
         data.dense_pwip_encode = orig_dense
+        data._dense_streams = orig_streams
       dt = run_config(runner, options, blocks, n_ex, n_sub, config)
       res = {
           'config': config,
@@ -127,6 +134,7 @@ def main():
       results.append(res)
       print(json.dumps(res), flush=True)
     data.dense_pwip_encode = orig_dense
+    data._dense_streams = orig_streams
   print(json.dumps({'all': results}))
 
 
