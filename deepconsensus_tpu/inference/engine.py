@@ -389,14 +389,10 @@ class ModelRunner:
     # (see predict_round_async).
     self.round_upload = bool(params.get('round_upload', True))
     self._wire_jits: Dict[Any, Any] = {}
-    self._round_jits: Dict[Any, Any] = {}
     self._forward_compact_fn = forward
 
-  def _dispatch_ragged(self, ragged: Dict[str, np.ndarray]):
-    """Runs the jitted forward on a ragged transport batch (maybe fused)."""
-    if not self.wire_transport:
-      return self._forward_ragged(self.variables, ragged)
-    buf, layout = data.wire_pack(ragged)
+  def _wire_fn(self, layout):
+    """Per-layout compiled forward over a fused wire buffer (cached)."""
     fn = self._wire_jits.get(layout)
     if fn is None:
       L = int(self.params.max_length)
@@ -408,7 +404,14 @@ class ModelRunner:
 
       fn = jax.jit(wire_forward)
       self._wire_jits[layout] = fn
-    return fn(self.variables, buf)
+    return fn
+
+  def _dispatch_ragged(self, ragged: Dict[str, np.ndarray]):
+    """Runs the jitted forward on a ragged transport batch (maybe fused)."""
+    if not self.wire_transport:
+      return self._forward_ragged(self.variables, ragged)
+    buf, layout = data.wire_pack(ragged)
+    return self._wire_fn(layout)(self.variables, buf)
 
   # Granularity the fused round buffer pads to: coarse enough to keep the
   # number of distinct compiled (layout, round-size) pairs tiny, small
@@ -420,9 +423,11 @@ class ModelRunner:
 
     transports: [(ragged_dict, n_windows)]. The per-batch wire buffers
     concatenate into a single padded uint8 buffer uploaded once; each
-    batch's compiled forward slices its span on device (offset is a traced
-    scalar, so one executable serves any batch position). Behind a
-    high-latency link this turns 4 upload RPCs per round into 1.
+    batch's span is carved out with a bare dynamic_slice (a tiny primitive
+    compile per round-size/span pair) and fed to the SAME per-layout
+    compiled forward the per-batch path uses — so the expensive executable
+    never depends on the round size. Behind a high-latency link this turns
+    4 upload RPCs per round into 1.
     """
     packed = [data.wire_pack(t) for t, _ in transports]
     total = sum(b.nbytes for b, _ in packed)
@@ -437,22 +442,10 @@ class ModelRunner:
     dev_buf = jax.device_put(round_buf)
     out = []
     for (buf, layout), (_, n), off in zip(packed, transports, offsets):
-      size = buf.nbytes
-      key = (layout, padded)
-      fn = self._round_jits.get(key)
-      if fn is None:
-        L = int(self.params.max_length)
-        fwd = self._forward_compact_fn
-
-        def round_forward(variables, round_buf, off, _size=size,
-                          _layout=layout):
-          b = jax.lax.dynamic_slice(round_buf, (off,), (_size,))
-          t = unpack_wire(b, _layout)
-          return fwd(variables, reconstruct_compact(t, L))
-
-        fn = jax.jit(round_forward)
-        self._round_jits[key] = fn
-      res = fn(self.variables, dev_buf, np.int32(off))
+      bslice = jax.lax.dynamic_slice(
+          dev_buf, (np.int32(off),), (buf.nbytes,)
+      )
+      res = self._wire_fn(layout)(self.variables, bslice)
       for arr in res:
         try:
           arr.copy_to_host_async()
