@@ -12,3 +12,11 @@ A from-scratch rebuild of the capabilities of google/deepconsensus v1.2
 """
 
 __version__ = '1.2.0+tpu.0.1'
+
+# Large numpy temporaries dominate the host hot path; keep them on the warm
+# glibc heap instead of re-faulting fresh mmaps every round (no-op outside
+# glibc; opt out with DC_TPU_NO_MALLOPT=1). See native.tune_allocator.
+from deepconsensus_tpu import native as _native  # noqa: E402
+
+_native.tune_allocator()
+del _native

@@ -6,6 +6,7 @@ a series of gzip members, each with a BC extra subfield carrying the
 compressed block size (SAM spec v1.6 §4.1).
 """
 
+import os
 import struct
 import zlib
 from typing import BinaryIO, Iterator, Optional, Union
@@ -107,8 +108,20 @@ class BgzfReader:
     """
     from deepconsensus_tpu import native
 
-    raw = self._fh.read()
-    if raw:
+    raw = None
+    try:
+      # Read into a pooled (already-faulted) buffer: fresh pages in this
+      # VM fault pathologically slowly, and this read runs every round.
+      remaining = os.fstat(self._fh.fileno()).st_size - self._fh.tell()
+      if remaining > 0:
+        arr = native.take_pooled_buffer(remaining)
+        got = self._fh.readinto(memoryview(arr))
+        raw = arr[:got] if got else b''
+    except (OSError, AttributeError, ValueError):
+      raw = None
+    if raw is None:
+      raw = self._fh.read()
+    if len(raw):
       head = bytes(self._buf[self._buf_pos :])
       inflated = native.bgzf_decompress_into(raw, head=head)
       if inflated is None:
@@ -118,7 +131,9 @@ class BgzfReader:
         self._buf_pos = 0
         import io
 
-        self._fh = io.BytesIO(raw)
+        self._fh = io.BytesIO(
+            raw.tobytes() if hasattr(raw, 'tobytes') else raw
+        )
         while True:
           block = self._read_block()
           if block is None:

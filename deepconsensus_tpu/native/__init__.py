@@ -141,13 +141,77 @@ def bgzf_decompress_all(raw: bytes) -> Optional[bytes]:
   return arr.tobytes()
 
 
-def bgzf_decompress_into(raw: bytes, head: bytes = b'',
+_MALLOC_TUNED = False
+
+
+def tune_allocator() -> bool:
+  """Keeps large transient allocations on the warm glibc heap.
+
+  glibc serves allocations above M_MMAP_THRESHOLD (128 KB default) with
+  fresh mmaps that are returned to the OS on free, so every round's large
+  numpy temporaries (flat transport arrays, wire buffers, inflate scratch)
+  pay first-touch page faults again — pathologically slow in this VM
+  (~2 orders of magnitude vs warm memory). Raising the mmap threshold to
+  its 32 MB max and disabling heap trimming makes those pages stay
+  resident and get reused warm. Opt out with DC_TPU_NO_MALLOPT=1.
+  """
+  global _MALLOC_TUNED
+  if _MALLOC_TUNED or os.environ.get('DC_TPU_NO_MALLOPT'):
+    return _MALLOC_TUNED
+  try:
+    libc = ctypes.CDLL(None)
+    M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+    libc.mallopt(M_MMAP_THRESHOLD, 32 * 1024 * 1024)
+    libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    _MALLOC_TUNED = True
+  except (OSError, AttributeError):
+    pass
+  return _MALLOC_TUNED
+
+
+# Recycling pool for large transient buffers. Fresh page faults in this VM
+# run ~2 orders of magnitude slower than warm memory until the pages have
+# been touched once, which made each round's ~34 MB inflate output cost
+# 110-170 ms of faults on top of ~40 ms of actual (4-thread) inflate.
+# A buffer is reusable exactly when nothing outside the pool references it
+# (sys.getrefcount == pool + loop local + getrefcount arg); BAM record views
+# keep their base buffer referenced, so reuse can never alias live data.
+_POOL_LOCK = None
+_BUF_POOL: list = []
+_POOL_MAX = 8
+
+
+def take_pooled_buffer(nbytes: int):
+  """A uint8 array view of length nbytes over a recycled (warm) buffer."""
+  global _POOL_LOCK
+  import sys
+  import threading
+
+  import numpy as np
+
+  if _POOL_LOCK is None:
+    _POOL_LOCK = threading.Lock()
+  with _POOL_LOCK:
+    for b in _BUF_POOL:
+      if b.nbytes >= nbytes and sys.getrefcount(b) == 3:
+        return b[:nbytes]
+    buf = np.empty(max(nbytes, 1 << 20), np.uint8)
+    _BUF_POOL.append(buf)
+    if len(_BUF_POOL) > _POOL_MAX:
+      # Drop the smallest retired buffer (live ones stay referenced by
+      # their views regardless of pool membership).
+      _BUF_POOL.remove(min(_BUF_POOL, key=lambda a: a.nbytes))
+    return buf[:nbytes]
+
+
+def bgzf_decompress_into(raw, head: bytes = b'',
                          threads: Optional[int] = None):
-  """Threaded BGZF inflate into a fresh numpy uint8 array.
+  """Threaded BGZF inflate into a pooled numpy uint8 array.
 
   Returns `head + inflate(raw)` as one array with no intermediate copies,
   or None if the native path is unavailable. BGZF members are inflated in
   parallel (they are independent deflate streams with known output sizes).
+  `raw` may be bytes or a uint8 array (e.g. a pooled read buffer).
   """
   lib = get_lib()
   if lib is None or not hasattr(lib, 'dc_bgzf_decompress_mt'):
@@ -160,10 +224,12 @@ def bgzf_decompress_into(raw: bytes, head: bytes = b'',
     return None
   if threads is None:
     threads = min(8, os.cpu_count() or 1)
-  out = np.empty(len(head) + size, np.uint8)
+  out = take_pooled_buffer(len(head) + size)
   if head:
     out[: len(head)] = np.frombuffer(head, np.uint8)
-  dst = ctypes.cast(out.ctypes.data + len(head), ctypes.POINTER(ctypes.c_uint8))
+  dst = ctypes.cast(
+      out.ctypes.data + len(head), ctypes.POINTER(ctypes.c_uint8)
+  )
   n = lib.dc_bgzf_decompress_mt(src, len(raw), dst, size, threads)
   if n != size:
     return None
