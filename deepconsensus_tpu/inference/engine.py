@@ -137,6 +137,20 @@ def unpack_base3(packed, length: int):
   return ids[..., :length]
 
 
+def unpack_base12(packed, length: int):
+  """Inverse of data.pack_base12: (…, 3k) uint8 -> (…, L) ids < 5."""
+  b = packed.reshape(packed.shape[:-1] + (-1, 3)).astype(jnp.uint16)
+  g0 = b[..., 0] | ((b[..., 1] & 0xF) << 8)
+  g1 = (b[..., 1] >> 4) | (b[..., 2] << 4)
+  lanes = []
+  for g in (g0, g1):
+    lanes.extend([g % 5, (g // 5) % 5, (g // 25) % 5, (g // 125) % 5,
+                  g // 625])
+  # lanes order: g0's 5 ids then g1's 5 ids per 3-byte group.
+  ids = jnp.stack(lanes, axis=-1).reshape(packed.shape[:-1] + (-1,))
+  return ids[..., :length].astype(jnp.uint8)
+
+
 def _inclusive_count(mask_flat):
   """Inclusive running count of True over a flat bool array.
 
@@ -276,10 +290,14 @@ def reconstruct_compact(t, length: int):
     )
   else:
     idx = t['row_index']  # legacy/synthetic transports
+  if 'flat_bases12' in t:  # 12-bit packing (5 ids / 12 bits)
+    bases_key, ccs_key, unpack_bases = 'flat_bases12', 'ccs12', unpack_base12
+  else:  # legacy 3-ids-per-byte packing
+    bases_key, ccs_key, unpack_bases = 'flat_bases', 'ccs', unpack_base3
   pw_entry = _dense_transport_entry(t, 'pwd')
   if pw_entry is not None:
     ip_entry = _dense_transport_entry(t, 'ipd')
-    flat_base_ids = unpack_base3(t['flat_bases'], length)
+    flat_base_ids = unpack_bases(t[bases_key], length)
     flat_pw = decode_dense_pwip(flat_base_ids, *pw_entry)
     flat_ip = decode_dense_pwip(flat_base_ids, *ip_entry)
   elif 'pw_codes' in t:
@@ -288,11 +306,11 @@ def reconstruct_compact(t, length: int):
   else:
     flat_pw, flat_ip = t['flat_pw'], t['flat_ip']
   compact = {
-      'bases': unpack_base3(jnp.take(t['flat_bases'], idx, axis=0), length),
+      'bases': unpack_bases(jnp.take(t[bases_key], idx, axis=0), length),
       'pw': jnp.take(flat_pw, idx, axis=0),
       'ip': jnp.take(flat_ip, idx, axis=0),
       'strand': t['strand'],
-      'ccs': unpack_base3(t['ccs'], length),
+      'ccs': unpack_bases(t[ccs_key], length),
       'sn': t['sn'],
   }
   if 'ccs_bq' in t:

@@ -327,6 +327,45 @@ def unpack_base3(packed: np.ndarray, length: int) -> np.ndarray:
   return out[..., :length].astype(np.uint8)
 
 
+def pack_base12(x: np.ndarray) -> np.ndarray:
+  """Packs base-vocab ids (< 5) five per 12 bits (5^5 = 3125 <= 2^12).
+
+  2.4 bits/id vs pack_base3's 2.67 — 11% fewer base bytes on the wire.
+  Layout: groups of 5 ids combine base-5 into a 12-bit word; word pairs
+  pack little-endian into 3 bytes. The trailing partial group pads with 0.
+  """
+  lp = (-x.shape[-1]) % 10
+  if lp:
+    x = np.concatenate([x, np.zeros(x.shape[:-1] + (lp,), x.dtype)], axis=-1)
+  v = x.astype(np.uint16).reshape(x.shape[:-1] + (-1, 5))
+  g = v[..., 0] + 5 * v[..., 1] + 25 * v[..., 2] + 125 * v[..., 3] + (
+      625 * v[..., 4]
+  )
+  g = g.reshape(g.shape[:-1] + (-1, 2))
+  b0 = g[..., 0] & 0xFF
+  b1 = (g[..., 0] >> 8) | ((g[..., 1] & 0xF) << 4)
+  b2 = g[..., 1] >> 4
+  return np.stack([b0, b1, b2], axis=-1).astype(np.uint8).reshape(
+      x.shape[:-1] + (-1,)
+  )
+
+
+def unpack_base12(packed: np.ndarray, length: int) -> np.ndarray:
+  """numpy inverse of pack_base12 (oracle for the device unpack)."""
+  b = packed.reshape(packed.shape[:-1] + (-1, 3)).astype(np.uint16)
+  g0 = b[..., 0] | ((b[..., 1] & 0xF) << 8)
+  g1 = (b[..., 1] >> 4) | (b[..., 2] << 4)
+  out = np.empty(g0.shape[:-1] + (g0.shape[-1], 10), np.uint16)
+  for i, g in ((0, g0), (5, g1)):
+    out[..., i + 0] = g % 5
+    out[..., i + 1] = (g // 5) % 5
+    out[..., i + 2] = (g // 25) % 5
+    out[..., i + 3] = (g // 125) % 5
+    out[..., i + 4] = g // 625
+  out = out.reshape(packed.shape[:-1] + (-1,))
+  return out[..., :length].astype(np.uint8)
+
+
 def row_index_dtype(cap: int):
   """Smallest index dtype addressing a flat array of `cap` rows."""
   return np.uint16 if cap <= np.iinfo(np.uint16).max else np.int32
@@ -396,11 +435,8 @@ def ragged_from_rows(
   row = np.arange(total) - np.repeat(np.cumsum(p) - p, p)
 
   cap = ragged_flat_capacity(total + 1, B, params.max_passes)
-  lp = (L + 2) // 3
-  flat_bases = np.zeros((cap, lp), np.uint8)
-  flat_bases[1 : total + 1] = pack_base3(
-      x[win, base_idx[0] + row].astype(np.uint8)
-  )
+  flat_base_ids = np.zeros((cap, L), np.uint8)
+  flat_base_ids[1 : total + 1] = x[win, base_idx[0] + row].astype(np.uint8)
   flat_pw = np.zeros((cap, L), np.uint8)
   flat_pw[1 : total + 1] = x[win, pw_idx[0] + row].astype(np.uint8)
   flat_ip = np.zeros((cap, L), np.uint8)
@@ -413,31 +449,26 @@ def ragged_from_rows(
       # (row_index_from_passes / engine device decode). One uint8 per
       # window instead of max_passes uint16s.
       'passes': p.astype(np.uint8),
-      'flat_bases': flat_bases,
+      'flat_bases12': pack_base12(flat_base_ids),
       'strand': x[:, strand_idx[0] : strand_idx[0] + params.max_passes, 0]
       .astype(np.uint8),
-      'ccs': pack_base3(x[:, ccs_idx[0]].astype(np.uint8)),
+      'ccs12': pack_base12(x[:, ccs_idx[0]].astype(np.uint8)),
       'sn': x[:, slice(*sn_idx), 0].astype(np.uint16),
   }
   if params.use_ccs_bq:
     out['ccs_bq'] = x[:, ccs_bq_idx[0]].astype(np.int16)
-  out.update(
-      encode_pwip_transport(out['flat_bases'], flat_pw, flat_ip, L)
-  )
+  out.update(encode_pwip_transport(flat_base_ids, flat_pw, flat_ip))
   return out
 
 
 def encode_pwip_transport(
-    flat_bases_packed: np.ndarray,
+    flat_base_ids: np.ndarray,
     flat_pw: np.ndarray,
     flat_ip: np.ndarray,
-    length: int,
     trusted: bool = False,
 ) -> Dict[str, np.ndarray]:
   """Best eligible pw/ip encoding: gap-elided dense > spaced nibble > plain."""
-  dense = dense_pwip_encode(
-      flat_bases_packed, flat_pw, flat_ip, length, trusted=trusted
-  )
+  dense = dense_pwip_encode(flat_base_ids, flat_pw, flat_ip, trusted=trusted)
   if dense is not None:
     return dense
   return _encode_pwip(flat_pw, flat_ip)
@@ -592,10 +623,9 @@ def dense_key_suffix(w: int) -> str:
 
 
 def _dense_streams(
-    flat_bases_packed: np.ndarray,
+    flat_base_ids: np.ndarray,
     flat_pw: np.ndarray,
     flat_ip: np.ndarray,
-    length: int,
     trusted: bool = False,
 ):
   """(dense_pw, dense_ip) non-gap value streams, or None if ineligible.
@@ -607,7 +637,7 @@ def _dense_streams(
   pinned by tests/test_window_block.py). ragged_from_rows takes arbitrary
   dense rows, so it must keep the check.
   """
-  nz = np.flatnonzero(unpack_base3(flat_bases_packed, length).reshape(-1))
+  nz = np.flatnonzero(flat_base_ids.reshape(-1))
   fpw = flat_pw.reshape(-1)
   fip = flat_ip.reshape(-1)
   dense_pw = fpw[nz]
@@ -623,10 +653,9 @@ def _dense_streams(
 
 
 def dense_pwip_encode(
-    flat_bases_packed: np.ndarray,
+    flat_base_ids: np.ndarray,
     flat_pw: np.ndarray,
     flat_ip: np.ndarray,
-    length: int,
     cap: Optional[int] = None,
     trusted: bool = False,
 ) -> Optional[Dict[str, np.ndarray]]:
@@ -639,9 +668,7 @@ def dense_pwip_encode(
   scatter reads back. `cap` forces a dense-stream capacity (sharded builds
   pass the max over shards so every shard shares one layout).
   """
-  streams = _dense_streams(
-      flat_bases_packed, flat_pw, flat_ip, length, trusted=trusted
-  )
+  streams = _dense_streams(flat_base_ids, flat_pw, flat_ip, trusted=trusted)
   if streams is None:
     return None
   dense_pw, dense_ip = streams
@@ -704,14 +731,13 @@ def _encode_dense_shards(streams, cap: int):
 
 
 def dense_pwip_decode(
-    flat_bases_packed: np.ndarray,
+    flat_base_ids: np.ndarray,
     codes_packed: np.ndarray,
     esc: np.ndarray,
-    length: int,
     w: int = 4,
 ) -> np.ndarray:
   """numpy inverse of dense_pwip_encode for one feature (device oracle)."""
-  mask = unpack_base3(flat_bases_packed, length) != 0
+  mask = flat_base_ids != 0
   codes = unpack_bitcodes_np(codes_packed, w)
   n = int(mask.sum())
   dense_codes = codes[:n].astype(np.int64)
@@ -774,8 +800,7 @@ class RaggedBatchBuilder:
     params = self.params
     L = int(params.max_length)
     max_passes = int(params.max_passes)
-    lp = (L + 2) // 3
-    flat_bases = np.zeros((cap, lp), np.uint8)
+    flat_base_ids = np.zeros((cap, L), np.uint8)
     flat_pw = np.zeros((cap, L), np.uint8)
     flat_ip = np.zeros((cap, L), np.uint8)
     passes = np.zeros(bpad, np.uint8)
@@ -791,9 +816,9 @@ class RaggedBatchBuilder:
       nw = i1 - i0
       k = min(block.num_passes, max_passes)
       cnt = nw * k
-      flat_bases[1 + ofs : 1 + ofs + cnt] = pack_base3(
-          block.bases[i0:i1, :k].reshape(cnt, L)
-      )
+      flat_base_ids[1 + ofs : 1 + ofs + cnt] = block.bases[
+          i0:i1, :k
+      ].reshape(cnt, L)
       flat_pw[1 + ofs : 1 + ofs + cnt] = block.pw[i0:i1, :k].reshape(cnt, L)
       flat_ip[1 + ofs : 1 + ofs + cnt] = block.ip[i0:i1, :k].reshape(cnt, L)
       passes[w0 : w0 + nw] = k
@@ -806,15 +831,15 @@ class RaggedBatchBuilder:
       ofs += cnt
 
     out = {
-        'flat_bases': flat_bases,
+        'flat_bases12': pack_base12(flat_base_ids),
         'passes': passes,
         'strand': strand,
-        'ccs': pack_base3(ccs_ids),
+        'ccs12': pack_base12(ccs_ids),
         'sn': sn,
     }
     if use_bq:
       out['ccs_bq'] = ccs_bq
-    return out, flat_pw, flat_ip
+    return out, flat_pw, flat_ip, flat_base_ids
 
   def build(self, num_shards: int = 1) -> Dict[str, np.ndarray]:
     params = self.params
@@ -823,13 +848,11 @@ class RaggedBatchBuilder:
       bpad = padded_size(self.n, self.batch_size)
       total = self._segment_rows(self._segments)
       cap = ragged_flat_capacity(total + 1, bpad, max_passes)
-      out, flat_pw, flat_ip = self._assemble(self._segments, bpad, cap)
+      out, flat_pw, flat_ip, ids = self._assemble(self._segments, bpad, cap)
+      # trusted: WindowBlock arrays hold zeros-at-gaps by construction
+      # (see _dense_streams).
       out.update(
-          encode_pwip_transport(
-              out['flat_bases'], flat_pw, flat_ip, int(params.max_length),
-              trusted=True,  # WindowBlock arrays: zeros-at-gaps holds by
-                             # construction (see _dense_streams)
-          )
+          encode_pwip_transport(ids, flat_pw, flat_ip, trusted=True)
       )
       return out
 
@@ -858,8 +881,8 @@ class RaggedBatchBuilder:
     # ALL shards to the next tier.
     L = int(params.max_length)
     stream_list = [
-        _dense_streams(out['flat_bases'], fp, fi, L, trusted=True)
-        for out, fp, fi in parts
+        _dense_streams(ids, fp, fi, trusted=True)
+        for _, fp, fi, ids in parts
     ]
     dense_encs = None
     if all(s is not None for s in stream_list):
@@ -867,13 +890,13 @@ class RaggedBatchBuilder:
       if dcap is not None:
         dense_encs = _encode_dense_shards(stream_list, dcap)
     if dense_encs is not None:
-      for (out, _, _), enc in zip(parts, dense_encs):
+      for (out, _, _, _), enc in zip(parts, dense_encs):
         out.update(enc)
     else:
-      pw_encs = [nibble_escape_encode(fp) for _, fp, _ in parts]
-      ip_encs = [nibble_escape_encode(fi) for _, _, fi in parts]
+      pw_encs = [nibble_escape_encode(fp) for _, fp, _, _ in parts]
+      ip_encs = [nibble_escape_encode(fi) for _, _, fi, _ in parts]
       encoded = all(e is not None for e in pw_encs + ip_encs)
-      for (out, flat_pw, flat_ip), pw_e, ip_e in zip(
+      for (out, flat_pw, flat_ip, _), pw_e, ip_e in zip(
           parts, pw_encs, ip_encs
       ):
         if encoded:
@@ -881,7 +904,7 @@ class RaggedBatchBuilder:
           out['ip_codes'], out['ip_esc'] = ip_e['codes'], ip_e['esc']
         else:
           out['flat_pw'], out['flat_ip'] = flat_pw, flat_ip
-    dicts = [out for out, _, _ in parts]
+    dicts = [out for out, _, _, _ in parts]
     return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
 

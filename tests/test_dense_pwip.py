@@ -77,9 +77,10 @@ def test_dense_encode_numpy_round_trip():
   pw_e, ip_e = _entry(t, 'pwd'), _entry(t, 'ipd')
   assert pw_e is not None and ip_e is not None, sorted(t)
   L = int(params.max_length)
-  pw = data.dense_pwip_decode(t['flat_bases'], pw_e[0], pw_e[1], L, pw_e[2])
-  ip = data.dense_pwip_decode(t['flat_bases'], ip_e[0], ip_e[1], L, ip_e[2])
-  mask = data.unpack_base3(t['flat_bases'], L) != 0
+  base_ids = data.unpack_base12(t['flat_bases12'], L)
+  pw = data.dense_pwip_decode(base_ids, pw_e[0], pw_e[1], pw_e[2])
+  ip = data.dense_pwip_decode(base_ids, ip_e[0], ip_e[1], ip_e[2])
+  mask = base_ids != 0
   assert pw[~mask].sum() == 0 and ip[~mask].sum() == 0
   # Cross-check against the spaced plain encoding of the same rows.
   t2 = _spaced_transport(rows, num_passes, params)
@@ -116,8 +117,15 @@ def test_invariant_violation_falls_back():
   params = _params()
   rng = np.random.default_rng(3)
   rows = rng.integers(
-      1, 100, size=(6, params.total_rows, params.max_length, 1)
-  ).astype(np.float32)  # pw/ip nonzero everywhere incl. gap columns
+      1, 15, size=(6, params.total_rows, params.max_length, 1)
+  ).astype(np.float32)  # pw/ip nonzero everywhere...
+  (base_idx, *_unused) = configs.get_indices(
+      params.max_passes, params.use_ccs_bq
+  )
+  mp = params.max_passes
+  bases = rng.integers(0, 5, size=(6, mp, params.max_length, 1))
+  assert (bases == 0).any()
+  rows[:, base_idx[0] : base_idx[0] + mp] = bases  # ...incl. gap columns
   num_passes = [3] * 6
   t = data.ragged_from_rows(rows, num_passes, params)
   assert _entry(t, 'pwd') is None
@@ -128,7 +136,7 @@ def test_device_decode_matches_numpy():
   rows, num_passes = _invariant_rows(params, seed=5)
   t = data.ragged_from_rows(rows, num_passes, params)
   L = int(params.max_length)
-  base_ids = data.unpack_base3(t['flat_bases'], L)
+  base_ids = data.unpack_base12(t['flat_bases12'], L)
   for prefix in ('pwd', 'ipd'):
     codes, esc, w = _entry(t, prefix)
     dev = np.asarray(
@@ -136,7 +144,7 @@ def test_device_decode_matches_numpy():
             base_ids, codes, esc
         )
     )
-    ref = data.dense_pwip_decode(t['flat_bases'], codes, esc, L, w)
+    ref = data.dense_pwip_decode(base_ids, codes, esc, w)
     np.testing.assert_array_equal(dev, ref)
 
 

@@ -63,8 +63,8 @@ def test_ragged_round_trip_equals_compact():
   idx = data.row_index_from_passes(ragged['passes'], params.max_passes)
   P, L = params.max_passes, params.max_length
   # numpy mirror of the device decode
-  bases = data.unpack_base3(ragged['flat_bases'][idx], L)
-  np.testing.assert_array_equal(bases, compact['bases'])
+  flat_base_ids = data.unpack_base12(ragged['flat_bases12'], L)
+  np.testing.assert_array_equal(flat_base_ids[idx], compact['bases'])
   dense_keys = {
       p: next(
           (
@@ -79,13 +79,9 @@ def test_ragged_round_trip_equals_compact():
   }
   if dense_keys['pwd']:  # gap-elided dense encoding (real data)
     ck, ek, w = dense_keys['pwd']
-    flat_pw = data.dense_pwip_decode(
-        ragged['flat_bases'], ragged[ck], ragged[ek], L, w
-    )
+    flat_pw = data.dense_pwip_decode(flat_base_ids, ragged[ck], ragged[ek], w)
     ck, ek, w = dense_keys['ipd']
-    flat_ip = data.dense_pwip_decode(
-        ragged['flat_bases'], ragged[ck], ragged[ek], L, w
-    )
+    flat_ip = data.dense_pwip_decode(flat_base_ids, ragged[ck], ragged[ek], w)
   else:
     flat_pw = data.nibble_escape_decode(
         ragged['pw_codes'], ragged['pw_esc'], L
@@ -96,7 +92,7 @@ def test_ragged_round_trip_equals_compact():
   np.testing.assert_array_equal(flat_pw[idx], compact['pw'])
   np.testing.assert_array_equal(flat_ip[idx], compact['ip'])
   np.testing.assert_array_equal(ragged['strand'], compact['strand'])
-  ccs = data.unpack_base3(ragged['ccs'], L)
+  ccs = data.unpack_base12(ragged['ccs12'], L)
   np.testing.assert_array_equal(ccs, compact['ccs'])
   np.testing.assert_array_equal(ragged['sn'], compact['sn'])
   # Byte accounting: the ragged payload must be substantially smaller.
@@ -175,3 +171,25 @@ def test_pack_base3_round_trip():
     packed = data.pack_base3(x)
     assert packed.shape == (7, -(-L // 3))
     np.testing.assert_array_equal(data.unpack_base3(packed, L), x)
+
+
+def test_pack_base12_round_trip():
+  import jax
+
+  rng = np.random.default_rng(12)
+  for L in (100, 99, 101, 1, 10):
+    x = rng.integers(0, 5, size=(7, L)).astype(np.uint8)
+    packed = data.pack_base12(x)
+    assert packed.shape == (7, 3 * (-(-L // 10)))
+    np.testing.assert_array_equal(data.unpack_base12(packed, L), x)
+    dev = np.asarray(
+        jax.jit(lambda p: engine.unpack_base12(p, L))(packed)
+    )
+    np.testing.assert_array_equal(dev, x)
+  # Every id pattern in one exhaustive group pair.
+  allv = np.arange(5, dtype=np.uint8)
+  x = np.stack(np.meshgrid(allv, allv, indexing='ij'), -1).reshape(-1)
+  x = x[: (len(x) // 10) * 10]
+  np.testing.assert_array_equal(
+      data.unpack_base12(data.pack_base12(x), len(x)), x
+  )
