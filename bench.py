@@ -203,6 +203,23 @@ def bench_model_windows(checkpoint: str, batch_size: int = 1024,
   rows = rng.integers(
       0, 3, size=(batch_size, params.total_rows, params.max_length, 1)
   ).astype(np.float32)
+  # Synthetic rows must satisfy the featurizer's zeros-at-gaps invariant
+  # (pw/ip exactly 0 where the base is gap) so this measures the
+  # production gap-elided transport, not the fallback encoding.
+  from deepconsensus_tpu.models import configs as configs_lib
+
+  base_idx, pw_idx, ip_idx, *_rest = configs_lib.get_indices(
+      params.max_passes, params.use_ccs_bq
+  )
+  mp = params.max_passes
+  bases = rng.integers(0, 5, size=(batch_size, mp, params.max_length, 1))
+  rows[:, base_idx[0] : base_idx[0] + mp] = bases
+  for idx in (pw_idx, ip_idx):
+    vals = rng.poisson(
+        6.0, size=(batch_size, mp, params.max_length, 1)
+    ).clip(0, 255).astype(np.float32)
+    vals[bases == 0] = 0.0
+    rows[:, idx[0] : idx[0] + mp] = vals
   # Worst-case density: every window at max_passes (the ragged transport
   # is the production path; synthetic random rows are fully dense).
   num_passes = [params.max_passes] * batch_size
