@@ -115,7 +115,14 @@ class BgzfReader:
       remaining = os.fstat(self._fh.fileno()).st_size - self._fh.tell()
       if remaining > 0:
         arr = native.take_pooled_buffer(remaining)
-        got = self._fh.readinto(memoryview(arr))
+        got = 0
+        while got < remaining:
+          # Loop: raw (unbuffered) streams may short-read; a single
+          # readinto must not silently truncate the trailing members.
+          n = self._fh.readinto(memoryview(arr)[got:])
+          if not n:
+            break
+          got += n
         raw = arr[:got] if got else b''
     except (OSError, AttributeError, ValueError):
       raw = None

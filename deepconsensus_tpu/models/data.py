@@ -591,24 +591,38 @@ def _esc_counts(dense: np.ndarray) -> Dict[int, int]:
   return {w: n - int(below[(1 << w) - 2]) for w in DENSE_WIDTHS}
 
 
-def _dense_width_cost(
-    dense: np.ndarray, cap: int, w: int, n_esc: Optional[int] = None
-) -> Optional[int]:
-  """Wire bytes for width w at capacity cap, or None if escapes overflow."""
-  if n_esc is None:
-    n_esc = int((dense >= (1 << w) - 1).sum())
-  esc_cap = esc_tier_capacity(cap, n_esc)
-  if esc_cap is None:
+def _select_width(n_escs: Dict[int, int], cap: int):
+  """(width, esc_cap) minimizing wire bytes, deterministically.
+
+  The choice is a pure function of the batch's escape histogram so both
+  transport producers emit identical bytes for identical windows (pinned
+  by tests/test_window_block.py). Each distinct (width, escape tier) pair
+  is its own wire layout and compiled executable; the combination count
+  is bounded by len(DENSE_WIDTHS) x len(ESC_FRAC_TIERS) per row tier and
+  the persistent compilation cache amortizes each to one compile ever.
+  """
+  best = None
+  for w in DENSE_WIDTHS:
+    esc_cap = esc_tier_capacity(cap, n_escs[w])
+    if esc_cap is None:
+      continue
+    cost = cap * w // 8 + esc_cap
+    if best is None or cost < best[0]:
+      best = (cost, w, esc_cap)
+  if best is None:
     return None
-  return cap * w // 8 + esc_cap
+  return best[1], best[2]
 
 
-def _dense_code_encode(dense: np.ndarray, cap: int, w: int):
+def _dense_code_encode(
+    dense: np.ndarray, cap: int, w: int, esc_cap: Optional[int] = None
+):
   """1-D w-bit+escape encoding of a dense value stream at fixed capacity."""
   th = np.uint8((1 << w) - 1)
   esc_vals = dense[dense >= th]
-  esc_cap = esc_tier_capacity(cap, len(esc_vals))
   if esc_cap is None:
+    esc_cap = esc_tier_capacity(cap, len(esc_vals))
+  if esc_cap is None or esc_cap < len(esc_vals):
     return None
   codes = np.zeros(cap, np.uint8)
   np.minimum(dense, th, out=codes[: len(dense)])  # values >= th -> escape
@@ -656,38 +670,34 @@ def dense_pwip_encode(
     flat_base_ids: np.ndarray,
     flat_pw: np.ndarray,
     flat_ip: np.ndarray,
-    cap: Optional[int] = None,
     trusted: bool = False,
 ) -> Optional[Dict[str, np.ndarray]]:
   """Gap-elided pw/ip encoding, or None when ineligible (caller falls back).
 
   Returns {'pwd_codes[w]','pwd_esc[w]','ipd_codes[w]','ipd_esc[w]'} with the
-  per-feature code width picked by exact byte count; the dense order is
-  row-major over the (cap_rows, L) flat layout restricted to non-gap
-  positions, exactly what engine.reconstruct_compact's masked prefix-sum
-  scatter reads back. `cap` forces a dense-stream capacity (sharded builds
-  pass the max over shards so every shard shares one layout).
+  per-feature code width picked by exact byte count (sticky across batches,
+  see _select_width); the dense order is row-major over the (cap_rows, L)
+  flat layout restricted to non-gap positions, exactly what
+  engine.reconstruct_compact's masked prefix-sum scatter reads back.
+  Sharded builds use _encode_dense_shards instead, which coordinates one
+  shared width/escape tier across all shards.
   """
   streams = _dense_streams(flat_base_ids, flat_pw, flat_ip, trusted=trusted)
   if streams is None:
     return None
   dense_pw, dense_ip = streams
+  cap = dense_capacity(len(dense_pw), flat_pw.size)
   if cap is None:
-    cap = dense_capacity(len(dense_pw), flat_pw.size)
-  if cap is None or cap < len(dense_pw):
     return None
   out = {}
   for name, dense in (('pwd', dense_pw), ('ipd', dense_ip)):
-    n_escs = _esc_counts(dense)
-    best = None
-    for w in DENSE_WIDTHS:
-      cost = _dense_width_cost(dense, cap, w, n_esc=n_escs[w])
-      if cost is not None and (best is None or cost < best[0]):
-        best = (cost, w)
-    if best is None:
+    sel = _select_width(_esc_counts(dense), cap)
+    if sel is None:
       return None
-    w = best[1]
-    enc = _dense_code_encode(dense, cap, w)
+    w, esc_cap = sel
+    enc = _dense_code_encode(dense, cap, w, esc_cap=esc_cap)
+    if enc is None:
+      return None
     suf = dense_key_suffix(w)
     out[f'{name}_codes{suf}'] = enc['codes']
     out[f'{name}_esc{suf}'] = enc['esc']
@@ -704,29 +714,18 @@ def _encode_dense_shards(streams, cap: int):
   out = [dict() for _ in streams]
   for fi, name in ((0, 'pwd'), (1, 'ipd')):
     shard_escs = [_esc_counts(s[fi]) for s in streams]
-    best = None
-    for w in DENSE_WIDTHS:
-      esc_need = max(e[w] for e in shard_escs)
-      esc_cap = esc_tier_capacity(cap, esc_need)
-      if esc_cap is None:
-        continue
-      cost = cap * w // 8 + esc_cap
-      if best is None or cost < best[0]:
-        best = (cost, w, esc_cap)
-    if best is None:
+    worst = {w: max(e[w] for e in shard_escs) for w in DENSE_WIDTHS}
+    sel = _select_width(worst, cap)
+    if sel is None:
       return None
-    _, w, esc_cap = best
-    th = np.uint8((1 << w) - 1)
+    w, esc_cap = sel
     suf = dense_key_suffix(w)
     for d, s in zip(out, streams):
-      dense = s[fi]
-      esc_vals = dense[dense >= th]
-      codes = np.zeros(cap, np.uint8)
-      np.minimum(dense, th, out=codes[: len(dense)])
-      esc = np.zeros(esc_cap, np.uint8)
-      esc[: len(esc_vals)] = esc_vals
-      d[f'{name}_codes{suf}'] = pack_bitcodes(codes, w)
-      d[f'{name}_esc{suf}'] = esc
+      enc = _dense_code_encode(s[fi], cap, w, esc_cap=esc_cap)
+      if enc is None:
+        return None
+      d[f'{name}_codes{suf}'] = enc['codes']
+      d[f'{name}_esc{suf}'] = enc['esc']
   return out
 
 
@@ -933,6 +932,11 @@ def wire_layout(transport: Dict[str, np.ndarray]):
   off = 0
   for k in sorted(transport):
     v = transport[k]
+    # engine.unpack_wire rebuilds fields with byte arithmetic for exactly
+    # these widths; anything else must fail at pack time, not decode time.
+    assert str(v.dtype) in (
+        'uint8', 'uint16', 'int16', 'uint32', 'int32'
+    ), (k, v.dtype)
     items.append((k, str(v.dtype), tuple(int(s) for s in v.shape), off))
     off += int(v.nbytes)
   return tuple(items), off
