@@ -25,11 +25,16 @@ from deepconsensus_tpu.train import loop
 from deepconsensus_tpu.models import configs
 params = configs.get_config('transformer_learn_values+test')
 configs.finalize_params(params)
-params.num_epochs = 80
-params.batch_size = 64
-params.learning_rate = 1e-4
+with params.unlocked():
+  params.num_epochs = 400
+  params.num_epochs_for_decay = 400
+  params.initial_learning_rate = 1.5e-4
+  params.end_learning_rate = 1e-6
+  params.batch_size = 64
+  # The config's 16000-step warmup would swallow a short warm-start run.
+  params.warmup_steps = 50
 loop.train('/tmp/toy_warm', params,
-           initial_checkpoint='models_out/toy_model')
+           initial_checkpoint='models_out/toy_model/checkpoint-1840')
 EOF
     ;;
 esac
