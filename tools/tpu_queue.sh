@@ -34,7 +34,7 @@ with params.unlocked():
   # The config's 16000-step warmup would swallow a short warm-start run.
   params.warmup_steps = 50
 loop.train('/tmp/toy_warm', params,
-           initial_checkpoint='models_out/toy_model/checkpoint-1840')
+           initial_checkpoint='models_out/toy_model/checkpoint-1200')
 EOF
     ;;
 esac
