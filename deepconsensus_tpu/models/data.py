@@ -503,7 +503,15 @@ def _encode_pwip(
 # ~34% fewer pw/ip bytes on real HiFi data. The encoder VERIFIES the
 # pw==ip==0-at-gaps invariant and falls back to the spaced encoding when any
 # value violates it (synthetic inputs), so correctness never depends on it.
-DENSE_FRAC_TIERS = (0.45, 0.55, 0.65, 0.80)
+# Fine 0.025 steps across [0.45, 0.65] where real HiFi non-gap density lands
+# (~0.51-0.585 measured on the bundled shard): the coarse 4-tier ladder left
+# 6-11% of the dense-code stream as padding; this one leaves <2.5%. Each tier
+# is a distinct wire layout/executable, but only the 2-3 tiers a shard's
+# density actually hits ever compile, and the persistent compilation cache
+# amortizes each to one compile ever.
+DENSE_FRAC_TIERS = (
+    0.45, 0.475, 0.50, 0.525, 0.55, 0.575, 0.60, 0.625, 0.65, 0.725, 0.80,
+)
 # Code widths the dense encoder may pick per feature per batch (w bits per
 # value; value >= 2^w-1 escapes to a full-uint8 side stream whose capacity
 # comes from a small tier ladder). On real HiFi data the dense escape rates
@@ -511,7 +519,9 @@ DENSE_FRAC_TIERS = (0.45, 0.55, 0.65, 0.80)
 # (~0.79 bytes/value vs 0.95 for nibble+0.45-tier escapes); the host picks
 # by EXACT byte count so any distribution gets its cheapest eligible width.
 DENSE_WIDTHS = (4, 5, 6)
-ESC_FRAC_TIERS = (0.05, 0.10, 0.175, 0.25, 0.45)
+ESC_FRAC_TIERS = (
+    0.025, 0.05, 0.075, 0.10, 0.125, 0.15, 0.175, 0.20, 0.25, 0.325, 0.45,
+)
 
 
 def dense_capacity(n: int, flat_values: int) -> Optional[int]:
