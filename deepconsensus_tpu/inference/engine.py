@@ -126,6 +126,15 @@ def unpack_nibbles(packed, length: int):
   return ids[..., :length]
 
 
+def unpack_crumbs(packed, length: int):
+  """Inverse of data.pack_crumbs: (…, ceil(L/4)) uint8 -> (…, L) 2-bit ids."""
+  vals = [(packed >> (2 * i)) & jnp.uint8(3) for i in range(4)]
+  out = jnp.stack(vals, axis=-1).reshape(
+      packed.shape[:-1] + (4 * packed.shape[-1],)
+  )
+  return out[..., :length]
+
+
 def unpack_base3(packed, length: int):
   """Inverse of data.pack_base3: (…, ceil(L/3)) uint8 -> (…, L) ids < 5."""
   v0 = packed % jnp.uint8(5)
@@ -267,7 +276,7 @@ def unpack_wire(buf, layout):
   return out
 
 
-def reconstruct_compact(t, length: int):
+def reconstruct_compact(t, length: int, max_passes: Optional[int] = None):
   """Device-side ragged-transport decode -> compact feature dict.
 
   Rebuilds the (B, max_passes, L) padded feature layout from the
@@ -276,7 +285,16 @@ def reconstruct_compact(t, length: int):
   zeros sentinel, so padding slots reconstruct exactly the all-zero rows
   of the dense layout. pw/ip arrive nibble+escape encoded (decoded before
   the row gather) unless the batch overflowed the escape capacity.
+
+  max_passes is only needed for transports whose strand ships 2-bit packed
+  ('strand2', 4 ids/byte) — the packed width alone can't recover it.
   """
+  if 'strand2' in t:
+    mp = int(max_passes) if max_passes else 4 * t['strand2'].shape[-1]
+    strand = unpack_crumbs(t['strand2'], mp)
+  else:
+    strand = t['strand']
+    mp = strand.shape[-1]
   if 'passes' in t:
     # Flat rows are window-major contiguous, so the gather-index matrix
     # expands from one uint8 pass count per window (row 0 = sentinel).
@@ -284,7 +302,7 @@ def reconstruct_compact(t, length: int):
     # sequential scan.
     p = t['passes'].astype(jnp.int32)
     off = jnp.cumsum(p) - p
-    j = jnp.arange(t['strand'].shape[-1], dtype=jnp.int32)
+    j = jnp.arange(mp, dtype=jnp.int32)
     idx = jnp.where(
         j[None, :] < p[:, None], 1 + off[:, None] + j[None, :], 0
     )
@@ -309,7 +327,7 @@ def reconstruct_compact(t, length: int):
       'bases': unpack_bases(jnp.take(t[bases_key], idx, axis=0), length),
       'pw': jnp.take(flat_pw, idx, axis=0),
       'ip': jnp.take(flat_ip, idx, axis=0),
-      'strand': t['strand'],
+      'strand': strand,
       'ccs': unpack_bases(t[ccs_key], length),
       'sn': t['sn'],
   }
@@ -392,9 +410,10 @@ class ModelRunner:
       )
 
     L = int(params.max_length)
+    mp = int(params.max_passes)
 
     def forward_ragged(variables, t):
-      return forward(variables, reconstruct_compact(t, L))
+      return forward(variables, reconstruct_compact(t, L, mp))
 
     self._forward = jax.jit(forward)
     self._forward_ragged = jax.jit(forward_ragged)
@@ -414,11 +433,12 @@ class ModelRunner:
     fn = self._wire_jits.get(layout)
     if fn is None:
       L = int(self.params.max_length)
+      mp = int(self.params.max_passes)
       fwd = self._forward_compact_fn
 
       def wire_forward(variables, buf):
         t = unpack_wire(buf, layout)
-        return fwd(variables, reconstruct_compact(t, L))
+        return fwd(variables, reconstruct_compact(t, L, mp))
 
       fn = jax.jit(wire_forward)
       self._wire_jits[layout] = fn

@@ -303,6 +303,32 @@ def pack_nibbles(x: np.ndarray) -> np.ndarray:
   return (x[..., 0::2] | (x[..., 1::2] << 4)).astype(np.uint8)
 
 
+def pack_crumbs(x: np.ndarray) -> np.ndarray:
+  """Packs 2-bit ids (< 4) four per byte along the last axis.
+
+  Used for the per-window strand rows (values 0 pad / 1 fwd / 2 rev;
+  reference: pre_lib.py Strand enum) — 4x fewer strand bytes on the wire.
+  """
+  pad = (-x.shape[-1]) % 4
+  if pad:
+    x = np.concatenate(
+        [x, np.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+    )
+  return (
+      x[..., 0::4]
+      | (x[..., 1::4] << 2)
+      | (x[..., 2::4] << 4)
+      | (x[..., 3::4] << 6)
+  ).astype(np.uint8)
+
+
+def unpack_crumbs(packed: np.ndarray, length: int) -> np.ndarray:
+  """numpy inverse of pack_crumbs (oracle for engine.unpack_crumbs)."""
+  vals = [(packed >> (2 * i)) & 3 for i in range(4)]
+  out = np.stack(vals, axis=-1).reshape(packed.shape[:-1] + (-1,))
+  return out[..., :length].astype(np.uint8)
+
+
 def pack_base3(x: np.ndarray) -> np.ndarray:
   """Packs base-vocab ids (< 5) three per byte (v0 + 5*v1 + 25*v2)."""
   pad = (-x.shape[-1]) % 3
@@ -450,11 +476,16 @@ def ragged_from_rows(
       # window instead of max_passes uint16s.
       'passes': p.astype(np.uint8),
       'flat_bases12': pack_base12(flat_base_ids),
-      'strand': x[:, strand_idx[0] : strand_idx[0] + params.max_passes, 0]
-      .astype(np.uint8),
       'ccs12': pack_base12(x[:, ccs_idx[0]].astype(np.uint8)),
       'sn': x[:, slice(*sn_idx), 0].astype(np.uint16),
   }
+  strand = x[:, strand_idx[0] : strand_idx[0] + params.max_passes, 0].astype(
+      np.uint8
+  )
+  if strand.max(initial=0) < 4:
+    out['strand2'] = pack_crumbs(strand)
+  else:  # synthetic rows outside the {0: pad, 1: fwd, 2: rev} vocab
+    out['strand'] = strand
   if params.use_ccs_bq:
     out['ccs_bq'] = x[:, ccs_bq_idx[0]].astype(np.int16)
   out.update(encode_pwip_transport(flat_base_ids, flat_pw, flat_ip))
@@ -842,7 +873,10 @@ class RaggedBatchBuilder:
     out = {
         'flat_bases12': pack_base12(flat_base_ids),
         'passes': passes,
-        'strand': strand,
+        # WindowBlock strand is {0: pad, 1: fwd, 2: rev} by construction
+        # (preprocess/windows.py writes the BAM-flag strand enum), so the
+        # 2-bit packing is always exact here.
+        'strand2': pack_crumbs(strand),
         'ccs12': pack_base12(ccs_ids),
         'sn': sn,
     }

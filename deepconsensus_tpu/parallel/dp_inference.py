@@ -88,11 +88,12 @@ class ShardedModelRunner:
     from jax.sharding import PartitionSpec as P
 
     L = int(params.max_length)
+    mp = int(params.max_passes)
     axis = mesh_lib.DATA_AXIS
 
     def forward_ragged_shard(variables, t):
       t1 = jax.tree_util.tree_map(lambda v: v[0], t)  # strip shard axis
-      compact = engine_lib.reconstruct_compact(t1, L)
+      compact = engine_lib.reconstruct_compact(t1, L, mp)
       ids, maxp = forward(variables, compact)
       return ids[None], maxp[None]
 
@@ -134,11 +135,12 @@ class ShardedModelRunner:
     fn = self._wire_jits.get(layout)
     if fn is None:
       L = int(self.params.max_length)
+      mp = int(self.params.max_passes)
       fwd = self._forward_compact_fn
 
       def wire_shard(variables, buf):
         t = engine_lib.unpack_wire(buf[0], layout)
-        compact = engine_lib.reconstruct_compact(t, L)
+        compact = engine_lib.reconstruct_compact(t, L, mp)
         ids, maxp = fwd(variables, compact)
         return ids[None], maxp[None]
 

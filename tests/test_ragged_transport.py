@@ -91,7 +91,11 @@ def test_ragged_round_trip_equals_compact():
     )
   np.testing.assert_array_equal(flat_pw[idx], compact['pw'])
   np.testing.assert_array_equal(flat_ip[idx], compact['ip'])
-  np.testing.assert_array_equal(ragged['strand'], compact['strand'])
+  if 'strand2' in ragged:  # 2-bit packed strand (values < 4)
+    strand = data.unpack_crumbs(ragged['strand2'], compact['strand'].shape[-1])
+    np.testing.assert_array_equal(strand, compact['strand'])
+  else:
+    np.testing.assert_array_equal(ragged['strand'], compact['strand'])
   ccs = data.unpack_base12(ragged['ccs12'], L)
   np.testing.assert_array_equal(ccs, compact['ccs'])
   np.testing.assert_array_equal(ragged['sn'], compact['sn'])
@@ -193,3 +197,31 @@ def test_pack_base12_round_trip():
   np.testing.assert_array_equal(
       data.unpack_base12(data.pack_base12(x), len(x)), x
   )
+
+
+def test_pack_crumbs_round_trip():
+  import jax
+
+  rng = np.random.default_rng(14)
+  for L in (20, 19, 21, 1, 4):
+    x = rng.integers(0, 3, size=(7, L)).astype(np.uint8)
+    packed = data.pack_crumbs(x)
+    assert packed.shape == (7, -(-L // 4))
+    np.testing.assert_array_equal(data.unpack_crumbs(packed, L), x)
+    dev = np.asarray(jax.jit(lambda p: engine.unpack_crumbs(p, L))(packed))
+    np.testing.assert_array_equal(dev, x)
+
+
+def test_ragged_strand_packs_only_in_vocab():
+  """strand > 3 (synthetic rows) must fall back to the raw strand array."""
+  params = _params()
+  rng = np.random.default_rng(15)
+  B, R, L = 4, params.total_rows, params.max_length
+  rows = np.zeros((B, R, L, 1), np.float32)
+  strand_idx = configs.get_indices(params.max_passes, params.use_ccs_bq)[3]
+  rows[:, strand_idx[0] : strand_idx[0] + params.max_passes] = 7.0
+  ragged = data.ragged_from_rows(rows, [2] * B, params)
+  assert 'strand' in ragged and 'strand2' not in ragged
+  rows[:, strand_idx[0] : strand_idx[0] + params.max_passes] = 2.0
+  ragged = data.ragged_from_rows(rows, [2] * B, params)
+  assert 'strand2' in ragged and 'strand' not in ragged
