@@ -290,8 +290,14 @@ def reconstruct_compact(t, length: int, max_passes: Optional[int] = None):
   ('strand2', 4 ids/byte) — the packed width alone can't recover it.
   """
   if 'strand2' in t:
-    mp = int(max_passes) if max_passes else 4 * t['strand2'].shape[-1]
-    strand = unpack_crumbs(t['strand2'], mp)
+    if max_passes is None:
+      # 4*packed_width only recovers multiples of 4; guessing would
+      # silently reshape e.g. max_passes=30 into 32.
+      raise ValueError(
+          'max_passes is required to decode 2-bit packed strand (strand2)'
+      )
+    strand = unpack_crumbs(t['strand2'], int(max_passes))
+    mp = int(max_passes)
   else:
     strand = t['strand']
     mp = strand.shape[-1]

@@ -301,6 +301,36 @@ class BamRecord:
     """Per-position cigar op codes (uint8), hard clips included."""
     return np.repeat(self.cigar_ops, self.cigar_lens)
 
+  @property
+  def cigar(self) -> List[Tuple[int, int]]:
+    """pysam alias for cigartuples (reference pre_lib.py:1229)."""
+    return self.cigartuples
+
+  def get_aligned_pairs(self) -> List[Tuple[Optional[int], Optional[int]]]:
+    """(query_pos, ref_pos) per alignment column, pysam semantics.
+
+    M/=/X consume both; I and S consume query only (ref None); D and N
+    consume reference only (query None); H and P emit nothing. Reference
+    positions are absolute (offset by `pos`), matching
+    pysam.AlignedSegment.get_aligned_pairs with default arguments — the
+    contract reference pre_lib.py:1198-1204 (expand_clip_indent) relies on.
+    """
+    pairs: List[Tuple[Optional[int], Optional[int]]] = []
+    qpos = 0
+    rpos = self.pos
+    for op, ln in zip(self.cigar_ops.tolist(), self.cigar_lens.tolist()):
+      if op in (constants.CMATCH, constants.CEQUAL, constants.CDIFF):
+        pairs.extend((qpos + i, rpos + i) for i in range(ln))
+        qpos += ln
+        rpos += ln
+      elif op in (constants.CINS, constants.CSOFT_CLIP):
+        pairs.extend((qpos + i, None) for i in range(ln))
+        qpos += ln
+      elif op in (constants.CDEL, constants.CREF_SKIP):
+        pairs.extend((None, rpos + i) for i in range(ln))
+        rpos += ln
+    return pairs
+
   def __repr__(self):
     return (
         f'BamRecord({self.qname}, flag={self.flag}, ref={self.ref_id}, '

@@ -196,7 +196,11 @@ def get_config(config_name: Optional[str] = None) -> ml_collections.ConfigDict:
   params.max_length = 100
   params.max_passes = 20
   params.loss_function = 'alignment_loss'
-  params.del_cost = 10
+  # Float like the reference base config (model_configs.py:321) so both
+  # int (bundled testdata params.json) and float (freshly dumped reference
+  # configs) values load; ml_collections casts int->float but not the
+  # reverse.
+  params.del_cost = 10.0
   params.loss_reg = 0.1
   params.band_width = None
   params.remove_label_gaps = False

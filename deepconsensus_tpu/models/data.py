@@ -5,6 +5,7 @@ numpy implementation of the reference's tf.data-side example processing
 clipping, label gap removal, and fixed-shape batching for jit.
 """
 
+import os
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -690,19 +691,33 @@ def _dense_streams(
   and padding columns, and zmw_window_block scatters into zero-init arrays
   whose untouched columns ARE the gaps; equality with the checked path is
   pinned by tests/test_window_block.py). ragged_from_rows takes arbitrary
-  dense rows, so it must keep the check.
+  dense rows, so it must keep the check. Setting DC_TPU_CHECK_INVARIANTS=1
+  (on in tests, off in benches) re-verifies the trusted path too and FAILS
+  LOUDLY on violation — a future featurizer change that breaks the
+  invariant must not silently ship corrupted pw/ip in the FASTQ.
   """
   nz = np.flatnonzero(flat_base_ids.reshape(-1))
   fpw = flat_pw.reshape(-1)
   fip = flat_ip.reshape(-1)
   dense_pw = fpw[nz]
   dense_ip = fip[nz]
-  if not trusted:
+  check = not trusted or os.environ.get(
+      'DC_TPU_CHECK_INVARIANTS', ''
+  ) not in ('', '0')
+  if check:
     # Invariant: every nonzero pw/ip sits at a non-gap (nonzero base)
     # position — then and only then does the masked scatter round-trip.
-    if np.count_nonzero(fpw) != np.count_nonzero(dense_pw) or (
+    violated = np.count_nonzero(fpw) != np.count_nonzero(dense_pw) or (
         np.count_nonzero(fip) != np.count_nonzero(dense_ip)
-    ):
+    )
+    if violated and trusted:
+      raise ValueError(
+          'zeros-at-gaps invariant violated on the trusted (builder) '
+          'transport path: nonzero pw/ip found at gap columns. The '
+          'featurizer no longer zero-fills gaps; gap-elided transport '
+          'would corrupt output.'
+      )
+    if violated:
       return None
   return dense_pw, dense_ip
 

@@ -15,6 +15,11 @@ if 'xla_force_host_platform_device_count' not in _flags:
       _flags + ' --xla_force_host_platform_device_count=8'
   ).strip()
 
+# Re-verify builder-path transport invariants in every test (off in
+# benches): a featurizer regression fails loudly instead of corrupting
+# output (models/data.py:_dense_streams).
+os.environ.setdefault('DC_TPU_CHECK_INVARIANTS', '1')
+
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')

@@ -131,6 +131,42 @@ def test_invariant_violation_falls_back():
   assert _entry(t, 'pwd') is None
 
 
+def test_trusted_path_invariant_check_fails_loudly(monkeypatch):
+  """A corrupted featurizer must raise under DC_TPU_CHECK_INVARIANTS=1.
+
+  The trusted (builder) path skips the zeros-at-gaps check by
+  construction; the env gate re-verifies it so a future featurizer change
+  that leaves nonzero pw/ip at gap columns fails loudly instead of
+  silently shipping corrupted FASTQ (VERDICT r2 weak #6).
+  """
+  rng = np.random.default_rng(5)
+  flat_bases = rng.integers(0, 5, size=(8, 100)).astype(np.uint8)
+  flat_pw = rng.integers(1, 20, size=(8, 100)).astype(np.uint8)
+  flat_ip = rng.integers(1, 20, size=(8, 100)).astype(np.uint8)
+  assert (flat_bases == 0).any()  # corrupted: nonzero pw/ip at gaps
+
+  # Untrusted: silently ineligible (caller falls back to spaced wire).
+  assert data.dense_pwip_encode(flat_bases, flat_pw, flat_ip) is None
+  # Trusted without the gate: encodes (relies on builder construction).
+  monkeypatch.delenv('DC_TPU_CHECK_INVARIANTS', raising=False)
+  assert (
+      data.dense_pwip_encode(flat_bases, flat_pw, flat_ip, trusted=True)
+      is not None
+  )
+  # Trusted WITH the gate: loud failure.
+  monkeypatch.setenv('DC_TPU_CHECK_INVARIANTS', '1')
+  with pytest.raises(ValueError, match='zeros-at-gaps'):
+    data.dense_pwip_encode(flat_bases, flat_pw, flat_ip, trusted=True)
+
+  # A clean (invariant-holding) input still encodes under the gate.
+  clean_pw = np.where(flat_bases > 0, flat_pw, 0).astype(np.uint8)
+  clean_ip = np.where(flat_bases > 0, flat_ip, 0).astype(np.uint8)
+  assert (
+      data.dense_pwip_encode(flat_bases, clean_pw, clean_ip, trusted=True)
+      is not None
+  )
+
+
 def test_device_decode_matches_numpy():
   params = _params()
   rows, num_passes = _invariant_rows(params, seed=5)

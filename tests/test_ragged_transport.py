@@ -204,7 +204,9 @@ def test_pack_crumbs_round_trip():
 
   rng = np.random.default_rng(14)
   for L in (20, 19, 21, 1, 4):
-    x = rng.integers(0, 3, size=(7, L)).astype(np.uint8)
+    # 0..3 inclusive: 3 is the 2-bit code boundary the pack guard
+    # (strand.max() < 4) explicitly admits.
+    x = rng.integers(0, 4, size=(7, L)).astype(np.uint8)
     packed = data.pack_crumbs(x)
     assert packed.shape == (7, -(-L // 4))
     np.testing.assert_array_equal(data.unpack_crumbs(packed, L), x)
