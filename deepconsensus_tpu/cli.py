@@ -192,11 +192,31 @@ def _add_filter_parser(sub):
   return p
 
 
+def _apply_platform_override() -> None:
+  """Honors DC_TPU_PLATFORM=cpu|tpu for every subcommand.
+
+  This environment registers a remote-TPU PJRT plugin from sitecustomize
+  that overrides the JAX_PLATFORMS env var, so the var alone cannot force
+  a CLI subprocess onto the CPU; the config knob (applied after import)
+  can. Byte-reproducibility note: CPU and TPU kernels differ by ~1 ULP,
+  which the Q chain can amplify into a rounded-Q flip, so runs on
+  different platforms are not byte-identical to each other.
+  """
+  import os
+
+  platform = os.environ.get('DC_TPU_PLATFORM')
+  if platform:
+    import jax
+
+    jax.config.update('jax_platforms', platform)
+
+
 def main(argv=None) -> int:
   logging.basicConfig(
       level=logging.INFO,
       format='%(asctime)s %(levelname)s %(name)s: %(message)s',
   )
+  _apply_platform_override()
   parser = argparse.ArgumentParser(
       prog='deepconsensus_tpu',
       description=(

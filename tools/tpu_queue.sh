@@ -19,6 +19,9 @@ case "${1:-probe}" in
   bench)
     timeout 560 python bench.py
     ;;
+  train-bench)
+    timeout 560 python tools/train_bench.py
+    ;;
   train)
     timeout 1800 python - <<'EOF'
 from deepconsensus_tpu.train import loop
