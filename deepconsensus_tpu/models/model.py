@@ -485,6 +485,7 @@ class LearnedValuesTransformer(nn.Module):
       deterministic: bool = True,
       embed_only: bool = False,
       embed_matmul: bool = False,
+      pre_condense: bool = False,
   ) -> Dict[str, jnp.ndarray]:
     """Forward from de-duplicated features — same math, less transport.
 
@@ -545,6 +546,10 @@ class LearnedValuesTransformer(nn.Module):
       embedded.append(jnp.broadcast_to(e, (B, L, e.shape[-1])))
 
     h = jnp.concatenate(embedded, axis=-1)
+    if pre_condense:
+      # Raw embedded concat, before condenser/pos-encoding — stage
+      # isolation hook for perf diagnostics (tools/bench_stages.py).
+      return {'encoder_input': h}
     return self._encode(h, deterministic, embed_only=embed_only)
 
   def __call__(
