@@ -20,7 +20,10 @@ case "${1:-probe}" in
     timeout 560 python bench.py
     ;;
   train-bench)
-    timeout 560 python tools/train_bench.py
+    # The fused variant's Pallas fwd+bwd compile alone can take minutes
+    # over the tunnel; 560s total was observed to cut it off mid-compile.
+    DC_TRAIN_BENCH_TOTAL_S="${DC_TRAIN_BENCH_TOTAL_S:-850}" \
+      timeout 900 python tools/train_bench.py
     ;;
   train)
     timeout 1800 python - <<'EOF'
