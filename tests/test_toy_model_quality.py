@@ -1,0 +1,81 @@
+"""Bundled toy model quality on the bundled eval split.
+
+Pins two measured facts that together explain why the committed
+checkpoint_metrics.tsv shows eval/yield_over_ccs == 0.0 even though the
+model is past the quality bar:
+
+1. the model's batch-pooled alignment identity on the eval split clears
+   the 0.997 yield threshold (in f32 CPU eval), and
+2. the CCS baseline's pooled identity on the same split does NOT —
+   so YieldOverCCSMetric's denominator (count of CCS-cleared batches)
+   is structurally zero and divide_no_nan yields 0.0 regardless of
+   model quality (reference losses_and_metrics.py:1139-1162).
+
+The yield metric therefore cannot be nonzero on this eval split by
+construction; its end-to-end path is exercised with nonzero values on
+train batches (train/yield_over_ccs ~1.6 in training logs) and by
+test_yield_over_ccs_matches_reference_semantics.
+"""
+
+import numpy as np
+import pytest
+
+from deepconsensus_tpu.inference import engine
+from deepconsensus_tpu.models import configs
+from deepconsensus_tpu.models import model as model_lib
+from deepconsensus_tpu.ops import alignment
+from deepconsensus_tpu.train import input_pipeline
+
+import os
+
+TOY = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'models_out/toy_model',
+)
+
+
+@pytest.fixture(scope='module')
+def eval_batch_and_probs():
+  import jax
+
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  runner, _ = engine.load_model_for_inference(TOY, 64)
+  model = model_lib.get_model(params)
+  stream = input_pipeline.example_stream(
+      params.eval_path, params, 65, shuffle_buffer=0, repeat=False,
+      drop_remainder=False,
+  )
+  rows, labels = next(iter(stream))
+  probs = jax.jit(lambda v, r: model.apply(v, r, deterministic=True))(
+      runner.variables, rows
+  )
+  return params, rows, labels, np.asarray(probs)
+
+
+def _pooled_identity(y_true, y_pred_scores):
+  _, _, mv = alignment.alignment_metric(y_true, y_pred_scores)
+  match = np.asarray(mv['num_correct_matches'], np.int64).sum()
+  alen = np.asarray(mv['alignment_length'], np.int64).sum()
+  return match / max(alen, 1)
+
+
+def test_toy_model_clears_yield_identity_bar(eval_batch_and_probs):
+  params, rows, labels, probs = eval_batch_and_probs
+  ident = _pooled_identity(np.asarray(labels), probs)
+  assert ident >= 0.997, f'toy model pooled identity {ident:.6f} < 0.997'
+
+
+def test_eval_split_ccs_below_yield_bar(eval_batch_and_probs):
+  """The denominator of yield_over_ccs is structurally zero on this split."""
+  import jax
+
+  params, rows, labels, _ = eval_batch_and_probs
+  ccs_slice = configs.get_indices(params.max_passes, params.use_ccs_bq)[4]
+  ccs = np.squeeze(np.asarray(rows), -1)[:, ccs_slice[0], :]
+  ccs_oh = np.asarray(jax.nn.one_hot(ccs.astype(np.int32), 5))
+  ident_ccs = _pooled_identity(np.asarray(labels), ccs_oh)
+  assert ident_ccs < 0.997, (
+      f'CCS pooled identity {ident_ccs:.6f} unexpectedly clears the bar; '
+      'yield_over_ccs could be nonzero on this split after all'
+  )
