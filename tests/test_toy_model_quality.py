@@ -1,20 +1,20 @@
 """Bundled toy model quality on the bundled eval split.
 
-Pins two measured facts that together explain why the committed
-checkpoint_metrics.tsv shows eval/yield_over_ccs == 0.0 even though the
-model is past the quality bar:
+Pins two measured facts about yield_over_ccs on this split:
 
-1. the model's batch-pooled alignment identity on the eval split clears
-   the 0.997 yield threshold (in f32 CPU eval), and
-2. the CCS baseline's pooled identity on the same split does NOT —
-   so YieldOverCCSMetric's denominator (count of CCS-cleared batches)
-   is structurally zero and divide_no_nan yields 0.0 regardless of
-   model quality (reference losses_and_metrics.py:1139-1162).
+1. the model's batch-pooled alignment identity over one 65-example eval
+   batch clears the 0.997 yield threshold (in f32 CPU eval), and
+2. the CCS baseline's pooled identity over the same batch does NOT —
+   so at eval batch sizes that pool many examples, YieldOverCCSMetric's
+   denominator (count of CCS-cleared batches) is zero and divide_no_nan
+   yields 0.0 regardless of model quality
+   (reference losses_and_metrics.py:1139-1162).
 
-The yield metric therefore cannot be nonzero on this eval split by
-construction; its end-to-end path is exercised with nonzero values on
-train batches (train/yield_over_ccs ~1.6 in training logs) and by
-test_yield_over_ccs_matches_reference_semantics.
+The committed checkpoint_metrics.tsv instead evaluates per-example
+(batch 1, the test config's finalized batch size, full 1239-example
+split): there, individual perfect-CCS examples clear the bar, the
+denominator is nonzero, and the recorded eval/yield_over_ccs is ~1.23
+(reference trajectory 1.27-5.10, docs/train_tpu_model.md:299-315).
 """
 
 import numpy as np
