@@ -506,20 +506,24 @@ def _run_benches(deadline: float):
   # measurement long before the pipeline's compile+warmup completes.
   _partial['stage'] = 'windows_mini'
   bench_model_windows(checkpoint, iters=6, time_budget_s=30.0)
-  # Pure device-compute throughput (one chained dispatch per config):
-  # the MFU figure, independent of tunnel phase.
-  _partial['stage'] = 'device_compute'
-  bench_device_compute(checkpoint, deadline=deadline - 240.0)
+  # The headline metric next: in a slow tunnel phase the pipeline's
+  # compile+warmup can eat minutes, so it must not queue behind the
+  # diagnostics. Its own mid-stream marks keep `_partial` current.
   _partial['stage'] = 'pipeline'
   zmws_per_sec = bench_full_pipeline(
       checkpoint,
       rounds=int(os.environ.get('DC_BENCH_ROUNDS', '10')),
       lookahead=int(os.environ.get('DC_BENCH_LOOKAHEAD', '3')),
-      deadline=deadline - 45.0,
+      deadline=deadline - 150.0,
   )
   _partial['zmws_per_sec'] = max(
       _partial.get('zmws_per_sec', 0.0), zmws_per_sec
   )
+  # Pure device-compute throughput (one chained dispatch per config):
+  # the MFU figure, independent of tunnel phase.
+  if deadline - time.time() > 120.0:
+    _partial['stage'] = 'device_compute'
+    bench_device_compute(checkpoint, deadline=deadline - 30.0)
   remaining = deadline - time.time()
   if remaining > 75.0:
     _partial['stage'] = 'windows_full'
