@@ -127,7 +127,8 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3,
   dispatcher = engine.AsyncDispatcher()
   clips = engine.clip_maxima(params)
 
-  def run_stream(n_rounds, start_round, t_start=None, marks=None):
+  def run_stream(n_rounds, start_round, t_start=None, marks=None,
+                 deadline=None):
     """Streams n_rounds through the engine with bounded lookahead.
 
     Dispatch runs on the engine's AsyncDispatcher thread (as in
@@ -284,9 +285,20 @@ def bench_model_windows(checkpoint: str, batch_size: int = 1024,
   rate = batch_size * done / dt
   _partial['windows_per_sec'] = max(_partial.get('windows_per_sec', 0.0), rate)
   if 'windows_per_sec_device' not in _partial:
-    # Fallback MFU only: once bench_device_compute has run, the MFU is
-    # based on its tunnel-latency-free measurement instead.
-    _partial.update(mfu_estimate(_partial['windows_per_sec'], params))
+    # Fallback only, explicitly labeled: per-dispatch timing includes the
+    # remote tunnel's RPC latency and understates device throughput ~2x
+    # (CLAUDE.md; tools/bench_stages.py). The official `mfu_estimate` comes
+    # from bench_device_compute's chained-fori measurement; these
+    # per_dispatch_* keys exist only so a run that dies before
+    # device_compute still records *something* with an honest label.
+    est = mfu_estimate(_partial['windows_per_sec'], params)
+    _partial['per_dispatch_tflops_per_sec'] = est.get(
+        'model_tflops_per_sec', 0.0
+    )
+    if 'mfu_estimate' in est:
+      _partial['per_dispatch_mfu'] = est['mfu_estimate']
+    if 'device_kind' in est:
+      _partial['device_kind'] = est['device_kind']
   return rate
 
 
@@ -469,6 +481,7 @@ def _emit(zmws_per_sec, extra=None):
 _EXTRA_KEYS = (
     'model_tflops_per_sec', 'mfu_estimate', 'device_kind',
     'windows_per_sec_device', 'windows_per_sec_device_fused',
+    'per_dispatch_tflops_per_sec', 'per_dispatch_mfu',
     'overall_zmws_per_sec', 'steady_zmws_per_sec', 'pipeline_rounds_done',
     'tunnel_probe_s', 'encoder', 'stage',
 )
@@ -506,24 +519,24 @@ def _run_benches(deadline: float):
   # measurement long before the pipeline's compile+warmup completes.
   _partial['stage'] = 'windows_mini'
   bench_model_windows(checkpoint, iters=6, time_budget_s=30.0)
-  # The headline metric next: in a slow tunnel phase the pipeline's
-  # compile+warmup can eat minutes, so it must not queue behind the
-  # diagnostics. Its own mid-stream marks keep `_partial` current.
+  # Device-compute MFU (chained fori_loop, tunnel-latency-free) BEFORE the
+  # pipeline stream: it is cheap in wall time (two compiles + two
+  # dispatches) and must land in the artifact even if the pipeline later
+  # eats the rest of the budget behind a slow tunnel.
+  _partial['stage'] = 'device_compute'
+  bench_device_compute(checkpoint, deadline=deadline - 210.0)
+  # The headline metric next: its own mid-stream marks keep `_partial`
+  # current even if the tunnel degrades mid-run.
   _partial['stage'] = 'pipeline'
   zmws_per_sec = bench_full_pipeline(
       checkpoint,
       rounds=int(os.environ.get('DC_BENCH_ROUNDS', '10')),
       lookahead=int(os.environ.get('DC_BENCH_LOOKAHEAD', '3')),
-      deadline=deadline - 150.0,
+      deadline=deadline - 120.0,
   )
   _partial['zmws_per_sec'] = max(
       _partial.get('zmws_per_sec', 0.0), zmws_per_sec
   )
-  # Pure device-compute throughput (one chained dispatch per config):
-  # the MFU figure, independent of tunnel phase.
-  if deadline - time.time() > 120.0:
-    _partial['stage'] = 'device_compute'
-    bench_device_compute(checkpoint, deadline=deadline - 30.0)
   remaining = deadline - time.time()
   if remaining > 75.0:
     _partial['stage'] = 'windows_full'
