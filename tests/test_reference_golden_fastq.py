@@ -92,13 +92,35 @@ def test_repo_cli_fastq_statistical_parity_vs_tf_forward(repo_run):
   # ULP-level forward noise flips an occasional argmax at near-tied
   # probabilities (a gap flip shifts the whole read — those reads are
   # excluded from positional qual stats) and an occasional rounded Q.
-  # Near maxp=1 the Q chain amplifies 1 ULP into multiple Phred bins
-  # (observed max 11 on the bundled shard), so the per-char delta bound
-  # is loose while the flip-rate bounds stay tight (observed: 0 seq
-  # mismatches, 844/112586 = 0.75% qual flips).
+  # Observed on the bundled shard (both configs): 0 seq mismatches,
+  # 801-864/112k = 0.71-0.77% qual flips, max |delta| 11 Phred bins
+  # (near maxp=1 the Q chain amplifies 1 ULP into several bins; the
+  # delta histogram is {1,2,4,11} from the v1.2 calibration's bin
+  # spacing). Bounds are observed + margin so a real Q-chain bug
+  # (systematic shift, rate blow-up) fails while cross-framework ULP
+  # noise passes.
   assert stats['seq_mismatch_reads'] <= 3, stats
-  assert stats['qual_char_diffs'] <= 2e-2 * stats['seq_chars'], stats
-  assert stats['qual_max_abs_delta'] <= 20, stats
+  assert stats['qual_char_diffs'] <= 1.5e-2 * stats['seq_chars'], stats
+  assert stats['qual_max_abs_delta'] <= 12, stats
+  # Per-Q-bin flip rates: the flip probability must stay tiny in the
+  # bulk Q93 bin (observed 0.08%), small at low/mid Q (observed <=1.5%
+  # below Q60), and bounded even where ULP amplification peaks
+  # (observed max 11.6% at Q71-76). Bins with <200 chars are skipped
+  # (binomial noise dominates).
+  for q_bin, n_chars in stats['qual_chars_by_bin'].items():
+    if n_chars < 200:
+      continue
+    rate = stats['qual_flips_by_bin'].get(q_bin, 0) / n_chars
+    if q_bin >= 93:
+      bound = 0.005
+    elif q_bin >= 60:
+      bound = 0.18
+    else:
+      bound = 0.04
+    assert rate <= bound, (
+        f'Q{q_bin}: flip rate {rate:.4f} > {bound} '
+        f'({stats["qual_flips_by_bin"].get(q_bin, 0)}/{n_chars})'
+    )
 
 
 def _explain_mismatch(ours: bytes, theirs: bytes):

@@ -61,9 +61,22 @@ def _pooled_identity(y_true, y_pred_scores):
 
 
 def test_toy_model_clears_yield_identity_bar(eval_batch_and_probs):
+  # Deliberate pin with a ONE-ERROR margin: the adopted checkpoint reads
+  # 0.99706 = 5262/5277.5-ish pooled over ~5.3k aligned positions, i.e. a
+  # single extra mismatch would dip below the 0.997 bar. If this fails
+  # after a jax/XLA upgrade with the counts off by ±1, it is numeric
+  # drift in a low-margin argmax, not a model/pipeline regression — the
+  # assertion message carries the raw counts to make that diagnosable.
   params, rows, labels, probs = eval_batch_and_probs
-  ident = _pooled_identity(np.asarray(labels), probs)
-  assert ident >= 0.997, f'toy model pooled identity {ident:.6f} < 0.997'
+  _, _, mv = alignment.alignment_metric(np.asarray(labels), probs)
+  match = np.asarray(mv['num_correct_matches'], np.int64).sum()
+  alen = np.asarray(mv['alignment_length'], np.int64).sum()
+  ident = match / max(alen, 1)
+  assert ident >= 0.997, (
+      f'toy model pooled identity {ident:.6f} < 0.997 '
+      f'(correct_matches={match}, alignment_length={alen}; a one-count '
+      f'delta from the pinned run means numeric drift, not regression)'
+  )
 
 
 def test_eval_split_ccs_below_yield_bar(eval_batch_and_probs):

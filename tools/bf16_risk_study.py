@@ -99,9 +99,14 @@ def main():
   dmaxp = np.abs(maxp_b - maxp_a).max()
   id_flips = int((ids_a != ids_b).sum())
 
-  # Continuous Q chain (reference op order), calibration = v1.2 default.
+  # Continuous Q chain (reference op order), calibration = v1.2 default
+  # (the string make_ref_golden ships; the bundled toy params.json carries
+  # no dc_calibration key, so without this default the boundary analysis
+  # would silently run uncalibrated, unlike the production/golden path).
+  from tools.oracle.make_ref_golden import DC_CALIBRATION
+
   calib = calibration_lib.parse_calibration_string(
-      params.get('dc_calibration', 'skip')
+      params.get('dc_calibration', DC_CALIBRATION)
   )
 
   class _Opt:

@@ -114,6 +114,11 @@ def main(argv=None):
       )
       print(f'[{config}] reference outcome (inject={inject}): {outcome}')
       assert outcome.success > 0, 'reference produced no successful reads'
+      # Machine-local timing byproduct — never committed (no test reads
+      # it and it churns with noise on every regeneration).
+      runtime_csv = f'{out}.runtime.csv'
+      if os.path.exists(runtime_csv):
+        os.remove(runtime_csv)
 
     if skip_repo:
       continue
@@ -167,6 +172,12 @@ def fastq_parity_stats(ours: bytes, theirs: bytes) -> dict:
       'seq_chars': 0,
       'qual_char_diffs': 0,
       'qual_max_abs_delta': 0,
+      # Per-Phred-bin flip accounting (bin = `theirs` Q value): flips
+      # concentrate at high Q where -10*log10(1-p) amplifies 1-ULP maxp
+      # noise, so the *rate per bin* is the meaningful parity bound, not
+      # just the global rate.
+      'qual_chars_by_bin': {},
+      'qual_flips_by_bin': {},
   }
   for i in range(0, min(len(a), len(b)), 4):
     sa, sb = a[i + 1], b[i + 1]
@@ -176,8 +187,15 @@ def fastq_parity_stats(ours: bytes, theirs: bytes) -> dict:
       stats['seq_mismatch_reads'] += 1
       continue
     for x, y in zip(qa, qb):
+      q_bin = ord(y) - 33
+      stats['qual_chars_by_bin'][q_bin] = (
+          stats['qual_chars_by_bin'].get(q_bin, 0) + 1
+      )
       if x != y:
         stats['qual_char_diffs'] += 1
+        stats['qual_flips_by_bin'][q_bin] = (
+            stats['qual_flips_by_bin'].get(q_bin, 0) + 1
+        )
         stats['qual_max_abs_delta'] = max(
             stats['qual_max_abs_delta'], abs(ord(x) - ord(y))
         )
