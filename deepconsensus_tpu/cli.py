@@ -136,6 +136,21 @@ def _add_train_parser(sub):
       '--input_workers', type=int, default=None,
       help='Input-pipeline worker processes (0 = in-process serial).',
   )
+  p.add_argument(
+      '--coordinator', default=None,
+      help='host:port of process 0 for multi-host (pod-scale) training; '
+           'launch the same command on every host with its --host_id. The '
+           'global device mesh spans all hosts (ICI within a slice, DCN '
+           'across).',
+  )
+  p.add_argument(
+      '--host_id', type=int, default=0,
+      help='This process index in a multi-host training job.',
+  )
+  p.add_argument(
+      '--num_hosts', type=int, default=1,
+      help='Total processes in a multi-host training job.',
+  )
   return p
 
 
@@ -301,6 +316,15 @@ def main(argv=None) -> int:
   if args.command == 'train':
     from deepconsensus_tpu.models import configs
     from deepconsensus_tpu.train import loop
+
+    if args.num_hosts > 1 or args.coordinator:
+      if not args.coordinator:
+        raise SystemExit('--num_hosts > 1 requires --coordinator host:port')
+      from deepconsensus_tpu.parallel import mesh as mesh_lib
+
+      mesh_lib.initialize_multihost(
+          args.coordinator, args.num_hosts, args.host_id
+      )
 
     params = configs.get_config(args.config)
     with params.unlocked():

@@ -40,7 +40,11 @@ def save_checkpoint(
   ckptr = ocp.StandardCheckpointer()
   ckptr.save(path, payload, force=True)
   ckptr.wait_until_finished()
-  configs.save_params_json(params, os.path.join(directory, 'params.json'))
+  # Multi-host: every process calls save (orbax coordinates its own
+  # primary-host writes + barriers); the plain-file params.json write is
+  # ours to gate.
+  if jax.process_index() == 0:
+    configs.save_params_json(params, os.path.join(directory, 'params.json'))
   return path
 
 

@@ -21,6 +21,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 
 
+def initialize_multihost(
+    coordinator: str, num_hosts: int, host_id: int
+) -> None:
+  """Brings up jax.distributed for a multi-host (pod-scale) job.
+
+  The reference gets multi-host for free from TPUStrategy
+  (model_train_custom_loop.py:333-347); the JAX equivalent is
+  jax.distributed.initialize, after which jax.devices() spans every
+  host's chips (ICI within a slice, DCN across hosts) and the existing
+  1-D data mesh + replicated-params shardings scale unchanged. On Cloud
+  TPU pods the three arguments can also come from the environment, in
+  which case initialize() discovers them itself.
+  """
+  jax.distributed.initialize(
+      coordinator_address=coordinator,
+      num_processes=num_hosts,
+      process_id=host_id,
+  )
+
+
 def shard_map(f, *, mesh, in_specs, out_specs):
   """Version-proof shard_map with replication checking off.
 
@@ -65,8 +85,21 @@ def shard_params(variables, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-  """Places a host batch sharded along the data axis."""
+  """Places a host batch sharded along the data axis.
+
+  Single-process: the full global batch is device_put sharded. Multi-host
+  (jax.distributed initialized): each process passes only its LOCAL slice
+  (global_batch / process_count rows) and the global array is assembled
+  across hosts without any cross-host data movement.
+  """
   sharding = batch_sharding(mesh)
+  if jax.process_count() > 1:
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
   return jax.tree_util.tree_map(
       lambda x: jax.device_put(x, sharding), batch
   )

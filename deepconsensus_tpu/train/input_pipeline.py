@@ -186,6 +186,67 @@ def example_stream(
   return batches()
 
 
+def multihost_stream(
+    file_patterns,
+    params,
+    global_batch_size: int,
+    host_id: int,
+    num_hosts: int,
+    shuffle_buffer: int = 0,
+    seed: int = 1,
+    num_workers: int = 0,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+  """Per-host LOCAL batches (global_batch/num_hosts rows) of a global stream.
+
+  The multi-host data-parallel input contract (SURVEY.md §2.11; the
+  reference distributes its dataset via
+  strategy.experimental_distribute_dataset, model_utils.py:488-490):
+
+  * With >= num_hosts input files, each host reads a disjoint round-robin
+    file shard at the local batch size — zero redundant IO, the
+    production pod path.
+  * With fewer files than hosts, every host deterministically reads the
+    FULL stream at the global batch size and takes its row slice, so the
+    assembled global batch is bit-identical to a single-host run (this is
+    what makes multi-host gradients exactly equal to single-host in
+    tests, and keeps small datasets correct instead of silently
+    duplicating examples across hosts).
+  """
+  if global_batch_size % num_hosts != 0:
+    raise ValueError(
+        f'global batch {global_batch_size} not divisible by '
+        f'{num_hosts} hosts'
+    )
+  local = global_batch_size // num_hosts
+  if num_hosts == 1:
+    return example_stream(
+        file_patterns, params, global_batch_size,
+        shuffle_buffer=shuffle_buffer, seed=seed, num_workers=num_workers,
+    )
+  files = create_glob_list(file_patterns)
+  if len(files) >= num_hosts:
+    return example_stream(
+        file_patterns, params, local,
+        shuffle_buffer=shuffle_buffer, seed=seed,
+        host_id=host_id, num_hosts=num_hosts, num_workers=num_workers,
+    )
+
+  def sliced():
+    stream = example_stream(
+        file_patterns, params, global_batch_size,
+        shuffle_buffer=shuffle_buffer, seed=seed, num_workers=num_workers,
+    )
+    for rows, labels in stream:
+      yield (
+          rows[host_id * local : (host_id + 1) * local],
+          None
+          if labels is None
+          else labels[host_id * local : (host_id + 1) * local],
+      )
+
+  return sliced()
+
+
 class _BlockCache:
   """LRU cache of decoded (rows, labels) file blocks across epochs.
 

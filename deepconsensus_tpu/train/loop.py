@@ -245,6 +245,19 @@ def write_metrics_row(path: str, checkpoint_name: str, metrics: Dict[str, Any]):
     )
 
 
+class _NullWriter:
+  """Event-writer stand-in for secondary hosts of a multi-host job."""
+
+  def scalars(self, *args, **kwargs):
+    pass
+
+  def flush(self):
+    pass
+
+  def close(self):
+    pass
+
+
 def train(
     out_dir: str,
     params: ml_collections.ConfigDict,
@@ -276,8 +289,21 @@ def train(
     raise ValueError(
         f'global batch {frozen.batch_size} not divisible by {n_dev} devices'
     )
+  # Multi-host (pod-scale) data parallelism: when the CLI brought up
+  # jax.distributed, the mesh above already spans every host's devices;
+  # each process feeds its local slice of the global batch and only the
+  # main process writes logs/markers (orbax checkpoint saves run on all
+  # processes — it coordinates its own primary-host writes). Mirrors the
+  # reference's TPUStrategy multi-host training
+  # (model_train_custom_loop.py:333-347, docs/train_tpu_model.md:283-292).
+  n_proc = jax.process_count()
+  proc_id = jax.process_index()
+  is_main = proc_id == 0
+  if num_devices is not None and n_proc > 1:
+    raise ValueError('--num_devices cannot restrict a multi-host mesh')
 
-  configs.save_params_json(frozen, os.path.join(out_dir, 'params.json'))
+  if is_main:
+    configs.save_params_json(frozen, os.path.join(out_dir, 'params.json'))
 
   model = model_lib.get_model(frozen)
   rng = jax.random.PRNGKey(frozen.seed)
@@ -348,18 +374,21 @@ def train(
 
   input_workers = int(frozen.get('input_workers', 0))
   train_iter = input_pipeline.Prefetcher(
-      input_pipeline.example_stream(
+      input_pipeline.multihost_stream(
           frozen.train_path,
           frozen,
           frozen.batch_size,
+          host_id=proc_id,
+          num_hosts=n_proc,
           shuffle_buffer=frozen.buffer_size,
           seed=frozen.seed,
           num_workers=input_workers,
       )
   )
   eval_iter = input_pipeline.Prefetcher(
-      input_pipeline.example_stream(
-          frozen.eval_path, frozen, frozen.batch_size, shuffle_buffer=0,
+      input_pipeline.multihost_stream(
+          frozen.eval_path, frozen, frozen.batch_size,
+          host_id=proc_id, num_hosts=n_proc, shuffle_buffer=0,
           num_workers=input_workers,
       )
   )
@@ -369,12 +398,19 @@ def train(
   eval_checkpoint_path = os.path.join(out_dir, 'eval_checkpoint.txt')
   metrics_tsv = os.path.join(out_dir, 'checkpoint_metrics.tsv')
   scalars_path = os.path.join(out_dir, 'scalars.jsonl')
-  scalars_f = open(scalars_path, 'a')
   # TensorBoard-compatible event streams, mirroring the reference's
   # train/ and eval/ writer layout (model_train_custom_loop.py:165-166,
   # model_utils.py:549-583). Tags keep the reference names (no prefix).
-  tb_train = tb_events.SummaryWriter(os.path.join(out_dir, 'train'))
-  tb_eval = tb_events.SummaryWriter(os.path.join(out_dir, 'eval'))
+  # Only the main process writes logs/events/markers; secondary hosts of
+  # a multi-host job compute identical replicated metrics and discard
+  # them (the reference's TPUStrategy likewise logs from the coordinator).
+  if is_main:
+    scalars_f = open(scalars_path, 'a')
+    tb_train = tb_events.SummaryWriter(os.path.join(out_dir, 'train'))
+    tb_eval = tb_events.SummaryWriter(os.path.join(out_dir, 'eval'))
+  else:
+    scalars_f = open(os.devnull, 'w')
+    tb_train = tb_eval = _NullWriter()
 
   def tb_write(writer, prefix, metrics, step_num):
     writer.scalars(
@@ -445,16 +481,18 @@ def train(
             step=step,
             opt_state=jax.device_get(opt_state),
         )
-        with open(eval_checkpoint_path, 'w') as f:
-          f.write(f'{ckpt_name}\t{epoch}\t{step_train}')
-        if write_checkpoint_metrics:
-          write_metrics_row(metrics_tsv, os.path.basename(ckpt_name),
-                            eval_metrics)
+        if is_main:
+          with open(eval_checkpoint_path, 'w') as f:
+            f.write(f'{ckpt_name}\t{epoch}\t{step_train}')
+          if write_checkpoint_metrics:
+            write_metrics_row(metrics_tsv, os.path.basename(ckpt_name),
+                              eval_metrics)
         main_metric = eval_metrics[constants.MAIN_EVAL_METRIC_NAME]
         if main_metric >= max_main_metric:
           max_main_metric = main_metric
-          with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
-            f.write(os.path.basename(ckpt_name))
+          if is_main:
+            with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
+              f.write(os.path.basename(ckpt_name))
         t_start = time.time()
     initial_step = 0
 
@@ -476,14 +514,15 @@ def train(
         step=step,
         opt_state=jax.device_get(opt_state),
     )
-    with open(eval_checkpoint_path, 'w') as f:
-      f.write(f'{ckpt_name}\t{frozen.num_epochs - 1}\t{step}')
-    if write_checkpoint_metrics:
-      write_metrics_row(
-          metrics_tsv, os.path.basename(ckpt_name), last_eval_metrics
-      )
-    with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
-      f.write(os.path.basename(ckpt_name))
+    if is_main:
+      with open(eval_checkpoint_path, 'w') as f:
+        f.write(f'{ckpt_name}\t{frozen.num_epochs - 1}\t{step}')
+      if write_checkpoint_metrics:
+        write_metrics_row(
+            metrics_tsv, os.path.basename(ckpt_name), last_eval_metrics
+        )
+      with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
+        f.write(os.path.basename(ckpt_name))
 
   scalars_f.close()
   tb_train.close()
