@@ -37,6 +37,10 @@ BATCHES = [int(b) for b in os.environ.get('AB_BATCHES', '2048,4096').split(',')]
 CONFIGS = os.environ.get(
     'AB_CONFIGS', 'spaced-multi,spaced-wire,dense-wire,dense-round'
 )
+# Round-size multiplier: replicate the featurized 50-ZMW block list k times
+# so each streamed round carries 50*k ZMWs (the reference recommends
+# --batch_zmws up to 1000; larger rounds amortize per-round RPCs).
+COPIES = int(os.environ.get('AB_COPIES', '1'))
 
 
 def featurize_blocks(params):
@@ -55,7 +59,8 @@ def featurize_blocks(params):
   blocks, n_ex, n_sub = engine.featurize_round_blocks(
       inputs, 'ab', stats, timing, clips
   )
-  return blocks, n_ex, n_sub, len(inputs)
+  blocks = list(blocks) * COPIES
+  return blocks, n_ex * COPIES, n_sub * COPIES, len(inputs) * COPIES
 
 
 def run_config(runner, options, blocks, n_ex, n_sub, label, lookahead=2):
@@ -95,7 +100,10 @@ def main():
   for batch_size in BATCHES:
     runner, params = engine.load_model_for_inference(
         checkpoint, batch_size,
-        param_overrides={'use_pallas_fused_encoder': True},
+        param_overrides={
+            'use_pallas_fused_encoder':
+                os.environ.get('AB_FUSED', '1') == '1'
+        },
     )
     dc_config = windows.DcConfig(
         params.max_passes, params.max_length, params.use_ccs_bq
