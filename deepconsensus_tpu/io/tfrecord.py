@@ -84,6 +84,66 @@ class TFRecordWriter:
     self.close()
 
 
+class ThreadedTFRecordWriter:
+  """TFRecordWriter with framing+gzip on a background thread.
+
+  zlib compression of the f32 example tensors dominates the preprocess
+  driver's serial wall time (~45% in profile); it releases the GIL, so a
+  single writer thread overlaps it with featurization/encoding on the
+  main thread. The bounded queue applies backpressure instead of letting
+  encoded examples pile up in memory. Record order is preserved (one
+  consumer thread per file).
+  """
+
+  _CLOSE = object()
+
+  def __init__(self, path: str, queue_size: int = 256, **kwargs):
+    import queue
+    import threading
+
+    self._writer = TFRecordWriter(path, **kwargs)
+    self._q = queue.Queue(maxsize=queue_size)
+    self._err = None
+    self._thread = threading.Thread(target=self._run, daemon=True)
+    self._thread.start()
+
+  def _run(self):
+    while True:
+      item = self._q.get()
+      if item is self._CLOSE:
+        return
+      try:
+        self._writer.write(item)
+      except Exception as e:  # surface on the producer thread
+        self._err = e
+        return
+
+  def write(self, record: bytes) -> None:
+    import queue
+
+    while True:
+      if self._err is not None:
+        raise self._err
+      try:
+        self._q.put(record, timeout=1.0)
+        return
+      except queue.Full:
+        continue  # re-check worker health, then retry
+
+  def close(self) -> None:
+    self._q.put(self._CLOSE)
+    self._thread.join()
+    self._writer.close()
+    if self._err is not None:
+      raise self._err
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *exc):
+    self.close()
+
+
 def read_tfrecords(
     path: str, compressed: Optional[bool] = None, verify: bool = False
 ) -> Iterator[bytes]:

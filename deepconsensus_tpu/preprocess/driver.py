@@ -45,7 +45,9 @@ def setup_writers(
     d = os.path.dirname(split_fname)
     if d:
       os.makedirs(d, exist_ok=True)
-    writers[split] = tfrecord.TFRecordWriter(split_fname)
+    # Background-thread writer: zlib of the f32 tensors releases the GIL
+    # and overlaps with featurization/encoding (~45% of serial wall time).
+    writers[split] = tfrecord.ThreadedTFRecordWriter(split_fname)
   return writers
 
 
