@@ -105,6 +105,10 @@ def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3,
           params.get('dc_calibration', 'skip')
       ),
   )
+  if os.environ.get('DC_BENCH_DEVICE_Q', '1') == '1':
+    # Bit-exact device-side Q quantization (engine.phred_bin_boundaries):
+    # uint8 qualities instead of f32 maxp, 4x fewer result bytes.
+    runner.enable_device_q(options)
   os.makedirs('/tmp/bench_out', exist_ok=True)
 
   def read_shard_inputs():

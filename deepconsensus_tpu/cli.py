@@ -66,6 +66,11 @@ def _add_run_parser(sub):
       '--lookahead', type=int, default=2,
       help='ZMW rounds in flight on the device (pipeline depth).',
   )
+  p.add_argument(
+      '--host_quality', action='store_true',
+      help='Compute base qualities on the host instead of the device '
+           '(the device path is bit-exact; this is an escape hatch).',
+  )
   return p
 
 
@@ -289,6 +294,7 @@ def main(argv=None) -> int:
         matmul_precision=None if args.precision in (None, 'default')
         else args.precision,
         lookahead=args.lookahead,
+        device_quality=not args.host_quality,
     )
     return 0 if outcome.success else 1
 

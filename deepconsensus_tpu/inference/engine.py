@@ -372,6 +372,12 @@ class ModelRunner:
     embed_matmul = _on_tpu()
 
     use_fused = bool(params.get('use_pallas_fused_encoder', False))
+    # Device-side quality quantization (enable_device_q): when set, the
+    # forward returns (ids int8, quality uint8) instead of (ids, maxp f32)
+    # — 4x fewer result bytes over the link, bit-exact vs the host chain
+    # by construction (see phred_bin_boundaries).
+    self._q_boundaries: Optional[np.ndarray] = None
+    self.device_q = False
 
     def forward(variables, compact):
       if use_fused:
@@ -411,9 +417,13 @@ class ModelRunner:
         )
         logits = outputs['logits']
       probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-      return jnp.argmax(probs, axis=-1).astype(jnp.int8), jnp.max(
-          probs, axis=-1
-      )
+      ids = jnp.argmax(probs, axis=-1).astype(jnp.int8)
+      conf = jnp.max(probs, axis=-1)
+      if self._q_boundaries is not None:
+        conf = jnp.sum(
+            conf[..., None] >= self._q_boundaries, axis=-1
+        ).astype(jnp.uint8)
+      return ids, conf
 
     L = int(params.max_length)
     mp = int(params.max_passes)
@@ -421,6 +431,7 @@ class ModelRunner:
     def forward_ragged(variables, t):
       return forward(variables, reconstruct_compact(t, L, mp))
 
+    self._forward_ragged_fn = forward_ragged
     self._forward = jax.jit(forward)
     self._forward_ragged = jax.jit(forward_ragged)
     self.transport = 'ragged'
@@ -433,6 +444,25 @@ class ModelRunner:
     self.round_upload = bool(params.get('round_upload', True))
     self._wire_jits: Dict[Any, Any] = {}
     self._forward_compact_fn = forward
+
+  def enable_device_q(self, options: InferenceOptions) -> bool:
+    """Switches the forward to return device-quantized uint8 qualities.
+
+    Bit-exact vs quality_scores_from_probs for every float32 maxp (see
+    phred_bin_boundaries); returns False (and changes nothing) when the
+    calibration makes the host chain non-monotone. Must be called before
+    the first dispatch — it re-creates the jitted wrappers so no
+    executable traced with the maxp-returning graph survives.
+    """
+    boundaries = phred_bin_boundaries(options)
+    if boundaries is None:
+      return False
+    self._q_boundaries = boundaries
+    self._forward = jax.jit(self._forward_compact_fn)
+    self._forward_ragged = jax.jit(self._forward_ragged_fn)
+    self._wire_jits = {}
+    self.device_q = True
+    return True
 
   def _wire_fn(self, layout):
     """Per-layout compiled forward over a fused wire buffer (cached)."""
@@ -573,6 +603,53 @@ def quality_scores_from_probs(
   return np.maximum(quality_scores, 0)
 
 
+def phred_bin_boundaries(options: InferenceOptions) -> Optional[np.ndarray]:
+  """Exact f32 max-prob lower boundary of every quality bin, or None.
+
+  quality_scores_from_probs is a monotone nondecreasing step function of
+  maxp whenever the calibration is 'skip' or a threshold-0 linear
+  transform with positive slope (the shipped v1.2 string "0,1.197654,
+  -0.99781" qualifies; a threshold>0 calibration is piecewise and can
+  step DOWN at the threshold, so it returns None and callers keep the
+  host chain). The device can then reproduce the host chain BIT-EXACTLY
+  for every possible float32 input as
+      q(x) = #{k : x >= boundaries[k]}
+  boundaries[k] is the smallest float32 in [0, 1] whose host-chain
+  quality exceeds k, found by binary search over the float bit space
+  evaluating the real host chain — so log10, calibration, rounding mode
+  and clipping are captured by construction, not re-derived.
+  """
+  cal = options.dc_calibration_values
+  if cal.enabled and (cal.threshold != 0 or cal.w <= 0):
+    return None
+  qmax = int(options.max_base_quality)
+
+  def q_of(bits: int) -> int:
+    x = np.uint32(bits).view(np.float32)
+    return int(quality_scores_from_probs(np.asarray([x]), options)[0])
+
+  one_bits = int(np.float32(1.0).view(np.uint32))
+  q_top = q_of(one_bits)  # maxp == 1.0 -> +inf quality -> qmax clip
+  boundaries = np.full(qmax, np.inf, np.float32)
+  lo_floor = 0
+  for k in range(qmax):
+    if q_top <= k:
+      break  # calibration caps quality below k+1: bins stay +inf
+    lo, hi = lo_floor, one_bits  # invariant: q(lo) <= k < q(hi)
+    if q_of(lo) > k:
+      boundaries[k] = np.uint32(lo).view(np.float32)
+      continue
+    while hi - lo > 1:
+      mid = (lo + hi) // 2
+      if q_of(mid) > k:
+        hi = mid
+      else:
+        lo = mid
+    boundaries[k] = np.uint32(hi).view(np.float32)
+    lo_floor = lo  # monotone: later bins start no lower
+  return boundaries
+
+
 def run_model_on_examples(
     feature_dicts: List[Dict[str, Any]],
     runner: ModelRunner,
@@ -596,8 +673,11 @@ def run_model_on_examples(
       for b in batches
   ]
   for batch, handle in zip(batches, handles):
-    ids, maxp = runner.collect(handle)
-    quality_scores = quality_scores_from_probs(maxp, options)
+    ids, conf = runner.collect(handle)
+    if getattr(runner, 'device_q', False):
+      quality_scores = conf.astype(np.int32)
+    else:
+      quality_scores = quality_scores_from_probs(conf, options)
     for y_pred, qs, window_pos, name, ec, np_, rq, rg in zip(
         ids,
         quality_scores,
@@ -1063,12 +1143,16 @@ def finish_round(
   # are issued together (and were already started at enqueue time), so the
   # tunnel round-trip is paid once per round, not once per batch.
   fetched = jax.device_get([h for h, _ in state.handles])
-  for batch, (handle_n, (ids, maxp)) in zip(
+  device_q = getattr(runner, 'device_q', False)
+  for batch, (handle_n, (ids, conf)) in zip(
       state.batches, zip(state.handles, fetched)
   ):
     n = handle_n[1]
-    ids, maxp = ids[:n], maxp[:n]
-    quality_scores = quality_scores_from_probs(maxp, options)
+    ids, conf = ids[:n], conf[:n]
+    if device_q:
+      quality_scores = conf.astype(np.int32)
+    else:
+      quality_scores = quality_scores_from_probs(conf, options)
     predictions.extend(_predictions_from_batch(batch, ids, quality_scores))
   predictions.extend(state.skipped_predictions)
   timing.log('run_model', state.batch_name, state.enqueued_at,
@@ -1218,6 +1302,7 @@ def run_inference(
     use_fused_encoder: bool = False,
     matmul_precision: Optional[str] = None,
     lookahead: int = 2,
+    device_quality: bool = True,
 ) -> stitch.OutcomeCounter:
   """End-to-end inference run (reference: quick_inference.run, :794-963).
 
@@ -1275,6 +1360,14 @@ def run_inference(
       dc_calibration_values=dc_cal,
       ccs_calibration_values=ccs_cal,
   )
+
+  # Device-side Q quantization: bit-exact vs the host chain (see
+  # phred_bin_boundaries) and 4x fewer result bytes over the link; a
+  # piecewise calibration falls back to the host chain automatically.
+  if runner is not None and device_quality and hasattr(
+      runner, 'enable_device_q'
+  ):
+    runner.enable_device_q(options)
 
   outcome_counter = stitch.OutcomeCounter()
   stats_counter = collections.Counter()

@@ -49,6 +49,11 @@ class ShardedModelRunner:
     from deepconsensus_tpu.inference import engine as engine_lib
     # One-hot MXU embedding lookups on TPU (bit-identical; see engine).
     embed_matmul = engine_lib._on_tpu()
+    # Device-side quality quantization (enable_device_q; see
+    # engine.phred_bin_boundaries): when set, forwards return
+    # (ids int8, quality uint8) — bit-exact vs the host chain.
+    self._q_boundaries = None
+    self.device_q = False
 
     def forward(variables, compact):
       outputs = self.model.apply(
@@ -65,9 +70,13 @@ class ShardedModelRunner:
           method='compact_outputs',
       )
       probs = jax.nn.softmax(outputs['logits'].astype(jnp.float32), axis=-1)
-      return jnp.argmax(probs, axis=-1).astype(jnp.int8), jnp.max(
-          probs, axis=-1
-      )
+      ids = jnp.argmax(probs, axis=-1).astype(jnp.int8)
+      conf = jnp.max(probs, axis=-1)
+      if self._q_boundaries is not None:
+        conf = jnp.sum(
+            conf[..., None] >= self._q_boundaries, axis=-1
+        ).astype(jnp.uint8)
+      return ids, conf
 
     self._forward = jax.jit(
         forward,
@@ -108,6 +117,7 @@ class ShardedModelRunner:
       ids, maxp = fr(variables, t)
       return ids.reshape(-1, L), maxp.reshape(-1, L)
 
+    self._forward_ragged_fn = forward_ragged
     self._forward_ragged = jax.jit(forward_ragged)
     self.transport = 'ragged'
     self.num_shards = n_dev
@@ -118,6 +128,25 @@ class ShardedModelRunner:
     self._wire_jits = {}
     self._mesh_axis = axis
     self._forward_compact_fn = forward
+
+  def enable_device_q(self, options) -> bool:
+    """Device-quantized uint8 qualities (see engine.enable_device_q).
+
+    Must be called before the first dispatch; re-creates the jitted
+    ragged/wire wrappers. The dense-rows `_forward` keeps its sharded
+    in_shardings and is rebuilt lazily by jax on next call via the same
+    closure (it reads self._q_boundaries at trace time).
+    """
+    from deepconsensus_tpu.inference import engine as engine_lib
+
+    boundaries = engine_lib.phred_bin_boundaries(options)
+    if boundaries is None:
+      return False
+    self._q_boundaries = boundaries
+    self._forward_ragged = jax.jit(self._forward_ragged_fn)
+    self._wire_jits = {}
+    self.device_q = True
+    return True
 
   def _dispatch_ragged(self, ragged):
     if not self.wire_transport:
