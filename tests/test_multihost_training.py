@@ -165,3 +165,66 @@ def test_multihost_stream_rejects_indivisible_batch():
     input_pipeline.multihost_stream(
         params.train_path, params, 9, host_id=0, num_hosts=2
     )
+
+
+def test_multihost_stream_file_sharded_path(tmp_path):
+  """With >= num_hosts input files, each host reads a disjoint round-robin
+  file shard at the LOCAL batch size (the zero-redundant-IO pod path)."""
+  from deepconsensus_tpu.io import tfrecord
+  from deepconsensus_tpu.models import configs
+  from deepconsensus_tpu.train import input_pipeline
+
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  # Split the bundled train tfrecord into two physical files.
+  src = input_pipeline.create_glob_list(params.train_path)
+  records = list(tfrecord.read_tfrecords(src[0]))
+  assert len(records) >= 8
+  half = len(records) // 2
+  for i, chunk in enumerate((records[:half], records[half:])):
+    with tfrecord.TFRecordWriter(
+        str(tmp_path / f'shard{i}.tfrecord.gz')
+    ) as w:
+      for rec in chunk:
+        w.write(rec)
+  pattern = str(tmp_path / 'shard*.tfrecord.gz')
+
+  streams = [
+      input_pipeline.multihost_stream(
+          pattern, params, 8, host_id=h, num_hosts=2, shuffle_buffer=0
+      )
+      for h in range(2)
+  ]
+  per_file = [
+      input_pipeline.example_stream(
+          str(tmp_path / f'shard{h}.tfrecord.gz'), params, 4,
+          shuffle_buffer=0,
+      )
+      for h in range(2)
+  ]
+  for _ in range(2):
+    for got, want in zip(streams, per_file):
+      g_rows, g_labels = next(got)
+      w_rows, w_labels = next(want)
+      assert g_rows.shape[0] == 4  # local batch = global 8 / 2 hosts
+      np.testing.assert_array_equal(g_rows, w_rows)
+      np.testing.assert_array_equal(g_labels, w_labels)
+
+
+def test_threaded_tfrecord_writer_roundtrip_and_errors(tmp_path):
+  from deepconsensus_tpu.io import tfrecord
+
+  path = str(tmp_path / 'out.tfrecord.gz')
+  payloads = [bytes([i]) * (i + 1) for i in range(200)]
+  with tfrecord.ThreadedTFRecordWriter(path, queue_size=8) as w:
+    for p in payloads:
+      w.write(p)
+  assert list(tfrecord.read_tfrecords(path, verify=True)) == payloads
+
+  # A worker failure surfaces on the producer thread, not silently.
+  w = tfrecord.ThreadedTFRecordWriter(str(tmp_path / 'err.tfrecord.gz'))
+  w._writer._fh.close()  # force the background write to fail
+  with pytest.raises(Exception):
+    for _ in range(1000):
+      w.write(b'x')
+    w.close()
