@@ -60,3 +60,23 @@ def test_emit_json_line_shape():
   assert out['vs_baseline'] == pytest.approx(12.5 / 0.76, abs=0.01)
   assert out['stage'] == 'done'
   assert 'error' not in out['stage']
+
+
+def test_headline_value_fallback_is_labeled():
+  """A slow phase with only a windows/s measurement must emit a labeled
+  nonzero estimate, never a bare 0.0 (round-3/4 scoreboard failure mode);
+  a finished pipeline round must supersede it unlabeled."""
+  extra = {'note': 'watchdog'}
+  v = bench.headline_value({'windows_per_sec': 5567.6}, extra)
+  assert v == pytest.approx(5567.6 / bench.WINDOWS_PER_ZMW)
+  assert extra['estimated_from_windows_per_sec'] is True
+  assert 'estimated' in extra['note'] and 'watchdog' in extra['note']
+
+  extra = {}
+  v = bench.headline_value(
+      {'windows_per_sec': 5567.6, 'zmws_per_sec': 61.6}, extra
+  )
+  assert v == 61.6
+  assert 'estimated_from_windows_per_sec' not in extra
+
+  assert bench.headline_value({}, {}) == 0.0
