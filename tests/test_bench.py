@@ -23,6 +23,7 @@ import bench
 @pytest.fixture(autouse=True)
 def _clean_partials(monkeypatch):
   monkeypatch.setattr(bench, '_partial', {})
+  monkeypatch.setattr(bench, '_shared', {})
   # 1 shard copy (10 ZMWs/round) keeps the CPU smoke run short; the real
   # bench streams 5 copies to amortize tunnel latency.
   monkeypatch.setattr(bench, 'BIG_SHARD_COPIES', 1)
