@@ -356,7 +356,9 @@ class ModelRunner:
   (models/data.compact_from_rows; ~5.5x less data than the dense f32 tile —
   critical when the chip sits behind a network link). Device output is
   (argmax ids int8, max probability f32) per position — the minimal tensors
-  the Q-score math needs.
+  the Q-score math needs — or (ids int8, quality uint8) after
+  enable_device_q, which quantizes the Q chain on device bit-exactly
+  (phred_bin_boundaries) for 4x fewer result bytes.
   """
 
   def __init__(self, params, variables, batch_size: int, dtype=jnp.float32):
