@@ -367,26 +367,35 @@ def bench_device_compute(checkpoint: str, batch_size: int = 2048,
 
   def synth_compact(params):
     # Honors the featurizer invariants (pw/ip exactly 0 at gap columns).
-    rng = np.random.default_rng(0)
+    # Generated ON DEVICE: the measurement is pure device compute (timing
+    # is shape-dependent, not value-dependent), and the ~49 MB a host
+    # synthesis would upload could alone eat the watchdog budget over a
+    # slow tunnel phase.
     mp, L = params.max_passes, params.max_length
-    bases = rng.integers(0, 5, size=(batch_size, mp, L)).astype(np.int32)
-    pw = rng.poisson(6.0, size=(batch_size, mp, L)).clip(0, 255)
-    ip = rng.poisson(6.0, size=(batch_size, mp, L)).clip(0, 255)
-    pw[bases == 0] = 0
-    ip[bases == 0] = 0
-    compact = {
-        'bases': bases,
-        'pw': pw.astype(np.int32),
-        'ip': ip.astype(np.int32),
-        'strand': rng.integers(1, 3, size=(batch_size, mp)).astype(np.int32),
-        'ccs': rng.integers(0, 5, size=(batch_size, L)).astype(np.int32),
-        'sn': rng.integers(0, 400, size=(batch_size, 4)).astype(np.int32),
-    }
-    if params.use_ccs_bq:
-      compact['ccs_bq'] = rng.integers(
-          -1, 94, size=(batch_size, L)
-      ).astype(np.int32)
-    return jax.device_put(compact)
+
+    @jax.jit
+    def gen():
+      ks = jax.random.split(jax.random.PRNGKey(0), 8)
+      bases = jax.random.randint(ks[0], (batch_size, mp, L), 0, 5, jnp.int32)
+      pw = jax.random.randint(ks[1], (batch_size, mp, L), 0, 24, jnp.int32)
+      ip = jax.random.randint(ks[2], (batch_size, mp, L), 0, 24, jnp.int32)
+      compact = {
+          'bases': bases,
+          'pw': jnp.where(bases == 0, 0, pw),
+          'ip': jnp.where(bases == 0, 0, ip),
+          'strand': jax.random.randint(
+              ks[3], (batch_size, mp), 1, 3, jnp.int32
+          ),
+          'ccs': jax.random.randint(ks[4], (batch_size, L), 0, 5, jnp.int32),
+          'sn': jax.random.randint(ks[5], (batch_size, 4), 0, 400, jnp.int32),
+      }
+      if params.use_ccs_bq:
+        compact['ccs_bq'] = jax.random.randint(
+            ks[6], (batch_size, L), -1, 94, jnp.int32
+        )
+      return compact
+
+    return jax.block_until_ready(gen())
 
   for name, fused in (('parity', False), ('fused', True)):
     if deadline is not None and deadline - time.time() < min_remaining_s:
@@ -552,7 +561,7 @@ _EXTRA_KEYS = (
     'windows_per_sec_device', 'windows_per_sec_device_fused',
     'per_dispatch_tflops_per_sec', 'per_dispatch_mfu',
     'overall_zmws_per_sec', 'steady_zmws_per_sec', 'pipeline_rounds_done',
-    'tunnel_probe_s', 'encoder', 'stage',
+    'tunnel_probe_s', 'weights_upload_s', 'encoder', 'stage',
 )
 
 
