@@ -61,12 +61,10 @@ def _pooled_identity(y_true, y_pred_scores):
 
 
 def test_toy_model_clears_yield_identity_bar(eval_batch_and_probs):
-  # Deliberate pin with a ONE-ERROR margin: the adopted checkpoint reads
-  # 0.99706 = 5262/5277.5-ish pooled over ~5.3k aligned positions, i.e. a
-  # single extra mismatch would dip below the 0.997 bar. If this fails
-  # after a jax/XLA upgrade with the counts off by ±1, it is numeric
-  # drift in a low-margin argmax, not a model/pipeline regression — the
-  # assertion message carries the raw counts to make that diagnosable.
+  # The round-4 adopted checkpoint reads 0.99981 (5359/5360) pooled over
+  # ~5.4k aligned positions — a ~15-error margin above the 0.997 bar, so
+  # ±1-count numeric drift across jax/XLA upgrades cannot flake this.
+  # The assertion message carries the raw counts for diagnosability.
   params, rows, labels, probs = eval_batch_and_probs
   _, _, mv = alignment.alignment_metric(np.asarray(labels), probs)
   match = np.asarray(mv['num_correct_matches'], np.int64).sum()
