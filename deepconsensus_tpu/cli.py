@@ -12,6 +12,11 @@ def _add_run_parser(sub):
   p = sub.add_parser('run', help='Run polishing inference: BAMs -> FASTQ/BAM.')
   p.add_argument('--subreads_to_ccs', required=True)
   p.add_argument('--ccs_bam', required=True)
+  p.add_argument(
+      '--ccs_fasta', default=None,
+      help='Deprecated (as in the reference, quick_inference.py:968-971): '
+           'pass the ccs BAM via --ccs_bam.',
+  )
   p.add_argument('--checkpoint', required=True)
   p.add_argument('--output', required=True)
   p.add_argument('--batch_size', type=int, default=1024)
@@ -80,6 +85,11 @@ def _add_preprocess_parser(sub):
   )
   p.add_argument('--subreads_to_ccs', required=True)
   p.add_argument('--ccs_bam', required=True)
+  p.add_argument(
+      '--ccs_fasta', default=None,
+      help='Deprecated (as in the reference, preprocess.py:247-250): pass '
+           'the ccs BAM via --ccs_bam.',
+  )
   p.add_argument('--output', required=True)
   p.add_argument('--truth_to_ccs', default=None)
   p.add_argument('--truth_bed', default=None)
@@ -263,6 +273,11 @@ def main(argv=None) -> int:
   args = parser.parse_args(argv)
 
   if args.command == 'run':
+    if args.ccs_fasta:
+      raise SystemExit(
+          'The --ccs_fasta flag has been deprecated. Please use --ccs_bam '
+          'with a BAM of the ccs sequences instead.'
+      )
     import jax.numpy as jnp
 
     from deepconsensus_tpu.inference import engine
@@ -299,6 +314,11 @@ def main(argv=None) -> int:
     return 0 if outcome.success else 1
 
   if args.command == 'preprocess':
+    if args.ccs_fasta:
+      raise SystemExit(
+          'The --ccs_fasta flag has been deprecated. Please use --ccs_bam '
+          'with a BAM of the ccs sequences instead.'
+      )
     from deepconsensus_tpu.preprocess import driver
 
     driver.run_preprocess(
