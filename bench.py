@@ -75,7 +75,6 @@ def make_runner(checkpoint: str, batch_size: int, overrides=None):
   import jax
 
   from deepconsensus_tpu.inference import engine
-  from deepconsensus_tpu.models import configs as configs_lib
 
   if 'dev_vars' not in _shared:
     t0 = time.time()
@@ -86,15 +85,10 @@ def make_runner(checkpoint: str, batch_size: int, overrides=None):
     _partial['weights_upload_s'] = round(time.time() - t0, 2)
     _shared['dev_vars'] = runner.variables
     return runner, params
-
-  params = configs_lib.read_params_from_json(checkpoint)
-  if overrides:
-    with params.unlocked():
-      for k, v in overrides.items():
-        params[k] = v
-  configs_lib.finalize_params(params)
-  runner = engine.ModelRunner(params, _shared['dev_vars'], batch_size)
-  return runner, params
+  return engine.load_model_for_inference(
+      checkpoint, batch_size, param_overrides=overrides,
+      variables=_shared['dev_vars'],
+  )
 
 
 def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3,

@@ -422,9 +422,7 @@ class ModelRunner:
       ids = jnp.argmax(probs, axis=-1).astype(jnp.int8)
       conf = jnp.max(probs, axis=-1)
       if self._q_boundaries is not None:
-        conf = jnp.sum(
-            conf[..., None] >= self._q_boundaries, axis=-1
-        ).astype(jnp.uint8)
+        conf = quantize_conf(conf, self._q_boundaries)
       return ids, conf
 
     L = int(params.max_length)
@@ -434,8 +432,7 @@ class ModelRunner:
       return forward(variables, reconstruct_compact(t, L, mp))
 
     self._forward_ragged_fn = forward_ragged
-    self._forward = jax.jit(forward)
-    self._forward_ragged = jax.jit(forward_ragged)
+    self._forward_compact_fn = forward
     self.transport = 'ragged'
     # Fused wire buffer: ship each ragged batch as ONE uint8 array (one
     # host->device transfer instead of ~9 — per-transfer overhead dominates
@@ -444,8 +441,22 @@ class ModelRunner:
     # Round-fused upload: one device_put for a whole round of wire batches
     # (see predict_round_async).
     self.round_upload = bool(params.get('round_upload', True))
+    self._rebuild_jits()
+
+  def _rebuild_jits(self) -> None:
+    """(Re)creates every jitted wrapper from the closure functions.
+
+    Called at init and again by enable_device_q so no executable traced
+    with the maxp-returning graph survives the switch. Each wrapper is a
+    FRESH closure: jax.jit shares its trace cache by underlying-function
+    identity, so re-jitting the same function object would silently reuse
+    the stale executable (pinned by
+    tests/test_device_quality.py::test_enable_device_q_invalidates...).
+    """
+    fwd, ragged = self._forward_compact_fn, self._forward_ragged_fn
+    self._forward = jax.jit(lambda variables, compact: fwd(variables, compact))
+    self._forward_ragged = jax.jit(lambda variables, t: ragged(variables, t))
     self._wire_jits: Dict[Any, Any] = {}
-    self._forward_compact_fn = forward
 
   def enable_device_q(self, options: InferenceOptions) -> bool:
     """Switches the forward to return device-quantized uint8 qualities.
@@ -456,15 +467,7 @@ class ModelRunner:
     the first dispatch — it re-creates the jitted wrappers so no
     executable traced with the maxp-returning graph survives.
     """
-    boundaries = phred_bin_boundaries(options)
-    if boundaries is None:
-      return False
-    self._q_boundaries = boundaries
-    self._forward = jax.jit(self._forward_compact_fn)
-    self._forward_ragged = jax.jit(self._forward_ragged_fn)
-    self._wire_jits = {}
-    self.device_q = True
-    return True
+    return _enable_device_q(self, options)
 
   def _wire_fn(self, layout):
     """Per-layout compiled forward over a fused wire buffer (cached)."""
@@ -603,6 +606,34 @@ def quality_scores_from_probs(
   quality_scores = np.round(quality_scores, decimals=0)
   quality_scores = quality_scores.astype(np.int32)
   return np.maximum(quality_scores, 0)
+
+
+def quantize_conf(conf, boundaries):
+  """uint8 quality bins from f32 max-probability, on device.
+
+  Bit-exact vs quality_scores_from_probs for every float32 input by
+  construction of the boundaries (phred_bin_boundaries): the quality is
+  the count of per-bin lower boundaries at or below the probability.
+  Shared by ModelRunner and parallel.dp_inference.ShardedModelRunner so
+  the bit-exactness-critical expression exists once.
+  """
+  return jnp.sum(conf[..., None] >= boundaries, axis=-1).astype(jnp.uint8)
+
+
+def _enable_device_q(runner, options: InferenceOptions) -> bool:
+  """Common enable_device_q body for both runner classes.
+
+  Computes the boundaries (declining non-monotone calibrations), installs
+  them, and rebuilds EVERY jitted wrapper via the runner's _rebuild_jits
+  so no executable traced with the maxp-returning graph survives.
+  """
+  boundaries = phred_bin_boundaries(options)
+  if boundaries is None:
+    return False
+  runner._q_boundaries = boundaries
+  runner._rebuild_jits()
+  runner.device_q = True
+  return True
 
 
 def phred_bin_boundaries(options: InferenceOptions) -> Optional[np.ndarray]:
@@ -1231,13 +1262,17 @@ def load_model_for_inference(
     dtype=jnp.float32,
     num_devices: Optional[int] = None,
     param_overrides: Optional[Dict[str, Any]] = None,
+    variables: Optional[Any] = None,
 ):
   """Loads params.json + weights; returns (runner, params).
 
   Accepts: an orbax checkpoint dir produced by this framework (contains
   params.json beside it), or a reference TF checkpoint prefix (translated
   via models/checkpoint.load_tf_checkpoint). param_overrides patches
-  non-weight-affecting params (e.g. use_pallas_attention).
+  non-weight-affecting params (e.g. use_pallas_attention). Passing
+  `variables` (e.g. another runner's already device-resident weights)
+  skips the checkpoint read AND the ~34 MB host->device re-upload — the
+  one-upload path bench.py uses to build several runners per process.
   """
   params = configs.read_params_from_json(checkpoint_path)
   if param_overrides:
@@ -1245,6 +1280,17 @@ def load_model_for_inference(
       for k, v in param_overrides.items():
         params[k] = v
   configs.finalize_params(params)
+  if variables is not None:
+    if num_devices is not None and num_devices > 1:
+      from deepconsensus_tpu.parallel import dp_inference
+
+      runner = dp_inference.ShardedModelRunner(
+          params, variables, batch_size, num_devices=num_devices,
+          dtype=dtype,
+      )
+    else:
+      runner = ModelRunner(params, variables, batch_size, dtype=dtype)
+    return runner, params
   model = model_lib.get_model(params)
   variables = model_lib.init_params(model, params)
   if os.path.isdir(checkpoint_path) and (

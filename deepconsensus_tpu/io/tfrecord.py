@@ -131,9 +131,24 @@ class ThreadedTFRecordWriter:
         continue  # re-check worker health, then retry
 
   def close(self) -> None:
-    self._q.put(self._CLOSE)
+    import queue
+
+    # Never block forever on a full queue whose consumer died (e.g. the
+    # worker hit ENOSPC and exited): enqueue the sentinel only while the
+    # worker is alive to drain it, bounded-wait at a time.
+    while self._thread.is_alive():
+      try:
+        self._q.put(self._CLOSE, timeout=1.0)
+        break
+      except queue.Full:
+        continue
     self._thread.join()
-    self._writer.close()
+    try:
+      self._writer.close()
+    except Exception:
+      if self._err is None:
+        raise
+      # fall through: the worker's original error is the root cause
     if self._err is not None:
       raise self._err
 

@@ -73,21 +73,15 @@ class ShardedModelRunner:
       ids = jnp.argmax(probs, axis=-1).astype(jnp.int8)
       conf = jnp.max(probs, axis=-1)
       if self._q_boundaries is not None:
-        conf = jnp.sum(
-            conf[..., None] >= self._q_boundaries, axis=-1
-        ).astype(jnp.uint8)
+        conf = engine_lib.quantize_conf(conf, self._q_boundaries)
       return ids, conf
 
-    self._forward = jax.jit(
-        forward,
-        in_shardings=(repl, {  # batch axis sharded per input
-            k: shard
-            for k in ('bases', 'pw', 'ip', 'strand', 'ccs', 'sn', 'ccs_bq')
-        } if params.use_ccs_bq else {
-            k: shard for k in ('bases', 'pw', 'ip', 'strand', 'ccs', 'sn')
-        }),
-        out_shardings=(shard, shard),
-    )
+    dense_in_shardings = (repl, {  # batch axis sharded per input
+        k: shard
+        for k in ('bases', 'pw', 'ip', 'strand', 'ccs', 'sn', 'ccs_bq')
+    } if params.use_ccs_bq else {
+        k: shard for k in ('bases', 'pw', 'ip', 'strand', 'ccs', 'sn')
+    })
 
     # Ragged minimum-byte transport, sharded: the host builds one
     # independent flat transport per device (data.RaggedBatchBuilder
@@ -118,35 +112,43 @@ class ShardedModelRunner:
       return ids.reshape(-1, L), maxp.reshape(-1, L)
 
     self._forward_ragged_fn = forward_ragged
-    self._forward_ragged = jax.jit(forward_ragged)
+
+    def rebuild_jits():
+      # Shared with enable_device_q: EVERY jitted wrapper (including the
+      # sharded dense-rows _forward) is re-created so no executable
+      # traced with the maxp-returning graph survives the switch. Fresh
+      # closures each time: jax.jit shares its trace cache by
+      # underlying-function identity (see engine.ModelRunner._rebuild_jits).
+      self._forward = jax.jit(
+          lambda variables, compact: forward(variables, compact),
+          in_shardings=dense_in_shardings,
+          out_shardings=(shard, shard),
+      )
+      self._forward_ragged = jax.jit(
+          lambda variables, t: forward_ragged(variables, t)
+      )
+      self._wire_jits = {}
+
+    self._rebuild_jits = rebuild_jits
+    rebuild_jits()
     self.transport = 'ragged'
     self.num_shards = n_dev
     # Fused wire transport (see engine.ModelRunner._dispatch_ragged): each
     # shard's transport packs to one flat uint8 buffer; the (n_dev, nbytes)
     # stack shards over the mesh and every device unpacks its own row.
     self.wire_transport = bool(params.get('wire_transport', True))
-    self._wire_jits = {}
     self._mesh_axis = axis
     self._forward_compact_fn = forward
 
   def enable_device_q(self, options) -> bool:
     """Device-quantized uint8 qualities (see engine.enable_device_q).
 
-    Must be called before the first dispatch; re-creates the jitted
-    ragged/wire wrappers. The dense-rows `_forward` keeps its sharded
-    in_shardings and is rebuilt lazily by jax on next call via the same
-    closure (it reads self._q_boundaries at trace time).
+    Must be called before the first dispatch; re-creates every jitted
+    wrapper (dense sharded, ragged, wire) via _rebuild_jits.
     """
     from deepconsensus_tpu.inference import engine as engine_lib
 
-    boundaries = engine_lib.phred_bin_boundaries(options)
-    if boundaries is None:
-      return False
-    self._q_boundaries = boundaries
-    self._forward_ragged = jax.jit(self._forward_ragged_fn)
-    self._wire_jits = {}
-    self.device_q = True
-    return True
+    return engine_lib._enable_device_q(self, options)
 
   def _dispatch_ragged(self, ragged):
     if not self.wire_transport:

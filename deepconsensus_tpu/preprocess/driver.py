@@ -126,8 +126,20 @@ def run_preprocess(
           if main_counter['n_zmw_pass'] % 20 == 0:
             logger.info('Processed %s ZMWs.', main_counter['n_zmw_pass'])
   finally:
+    # Close EVERY split writer even when one close() raises (a threaded
+    # writer re-raises its worker's error): abandoning the rest would
+    # leave their gzip streams unflushed/unterminated.
+    import sys as _sys
+
+    close_err = None
     for w in writers.values():
-      w.close()
+      try:
+        w.close()
+      except Exception as e:  # noqa: BLE001 — re-raised after the loop
+        close_err = close_err or e
+    # Don't mask an exception already propagating out of the try body.
+    if close_err is not None and _sys.exc_info()[0] is None:
+      raise close_err
 
   logger.info('Completed processing %s ZMWs.', main_counter['n_zmw_pass'])
   summary_name = 'training' if is_training else 'inference'

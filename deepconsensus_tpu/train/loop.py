@@ -329,29 +329,53 @@ def train(
   initial_epoch = 0
   initial_step = 0
   resume_marker = os.path.join(out_dir, 'eval_checkpoint.txt')
+  parts = None
   if os.path.exists(resume_marker) and not initial_checkpoint:
     with open(resume_marker) as f:
-      parts = f.read().strip().split('\t')
-    if len(parts) == 3 and os.path.exists(parts[0]):
-      payload = ckpt_lib.load_checkpoint(
-          parts[0],
-          {
-              'variables': jax.device_get(variables),
-              'opt_state': jax.device_get(opt_state),
-          },
+      candidate = f.read().strip().split('\t')
+    if len(candidate) == 3 and os.path.exists(candidate[0]):
+      parts = candidate
+  if n_proc > 1:
+    # Multi-host resume must be all-or-nothing, checked BEFORE any
+    # checkpoint restore (orbax restores run their own cross-host
+    # collectives, so a lone resuming host would die in an opaque gloo
+    # size-mismatch instead): each process read its own out_dir marker
+    # above, and a non-shared out_dir would let host 0 resume checkpoint
+    # weights while others fresh-init — the 'replicated' params would
+    # then silently differ across hosts. Gather every host's
+    # (resuming?, epoch, step) and fail loudly on mismatch.
+    from jax.experimental import multihost_utils
+
+    state = (
+        [1, int(parts[1]), int(parts[2])] if parts is not None else [0, 0, 0]
+    )
+    states = multihost_utils.process_allgather(np.asarray(state, np.int32))
+    if not (states == states[0]).all():
+      raise ValueError(
+          'hosts disagree on resume state (per-host [resuming, epoch, '
+          f'step] = {states.tolist()}): --out_dir must be shared storage '
+          'visible to every host of a multi-host job'
       )
-      variables = payload['variables']
-      if 'opt_state' in payload:
-        opt_state = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(opt_state),
-            jax.tree_util.tree_leaves(payload['opt_state']),
-        )
-      initial_epoch = int(parts[1])
-      initial_step = int(parts[2]) + 1
-      logger.info(
-          'Resuming from %s at epoch %d step %d',
-          parts[0], initial_epoch, initial_step,
+  if parts is not None:
+    payload = ckpt_lib.load_checkpoint(
+        parts[0],
+        {
+            'variables': jax.device_get(variables),
+            'opt_state': jax.device_get(opt_state),
+        },
+    )
+    variables = payload['variables']
+    if 'opt_state' in payload:
+      opt_state = jax.tree_util.tree_unflatten(
+          jax.tree_util.tree_structure(opt_state),
+          jax.tree_util.tree_leaves(payload['opt_state']),
       )
+    initial_epoch = int(parts[1])
+    initial_step = int(parts[2]) + 1
+    logger.info(
+        'Resuming from %s at epoch %d step %d',
+        parts[0], initial_epoch, initial_step,
+    )
 
   train_step, eval_step = build_train_step(
       model, tx, frozen, frozen.batch_size

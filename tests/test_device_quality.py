@@ -160,3 +160,45 @@ def test_runner_device_q_end_to_end_cpu():
   assert q_dev.dtype == np.uint8
   np.testing.assert_array_equal(ids_d, ids_h)
   np.testing.assert_array_equal(q_dev.astype(np.int32), q_host)
+
+
+def test_enable_device_q_invalidates_pretraced_executables():
+  """An executable traced BEFORE enable_device_q (e.g. a warmup batch)
+  must not survive the switch: it would keep returning f32 maxp while
+  device_q=True, and the collect path's astype(int32) would collapse
+  every quality to 0/1 — silently corrupt FASTQ. Covers both runner
+  classes (the sharded one rebuilds its dense sharded jit too)."""
+  import jax
+
+  from deepconsensus_tpu.models import configs, model as model_lib
+  from deepconsensus_tpu.parallel import dp_inference
+
+  params = configs.get_config('transformer_learn_values+test')
+  with params.unlocked():
+    params.num_hidden_layers = 1
+    params.filter_size = 32
+    params.transformer_input_size = 32
+  configs.finalize_params(params)
+  model = model_lib.get_model(params)
+  variables = jax.device_get(model_lib.init_params(model, params))
+  options = make_options(V12_CALIBRATION)
+  rng = np.random.default_rng(0)
+  rows = rng.integers(
+      0, 3, size=(4, params.total_rows, params.max_length, 1)
+  ).astype(np.float32)
+
+  for runner in (
+      engine.ModelRunner(params, variables, batch_size=4),
+      dp_inference.ShardedModelRunner(
+          params, variables, batch_size=4, num_devices=2
+      ),
+  ):
+    _, before = runner.predict(rows)  # traces the maxp-returning graph
+    assert before.dtype == np.float32
+    assert runner.enable_device_q(options)
+    _, after = runner.predict(rows)
+    assert after.dtype == np.uint8, type(runner).__name__
+    np.testing.assert_array_equal(
+        after.astype(np.int32),
+        engine.quality_scores_from_probs(before, options),
+    )

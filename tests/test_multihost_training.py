@@ -228,3 +228,57 @@ def test_threaded_tfrecord_writer_roundtrip_and_errors(tmp_path):
     for _ in range(1000):
       w.write(b'x')
     w.close()
+  # close() after the worker died (possibly with a full queue) must not
+  # deadlock on the sentinel put, and must surface the worker's error.
+  w2 = tfrecord.ThreadedTFRecordWriter(
+      str(tmp_path / 'err2.tfrecord.gz'), queue_size=2
+  )
+  w2._writer._fh.close()
+  with pytest.raises(Exception):
+    for _ in range(100):
+      w2.write(b'y' * 1000)
+  with pytest.raises(Exception):
+    w2.close()
+
+
+def test_multihost_resume_divergence_fails_loudly(tmp_path):
+  """Hosts whose out_dirs disagree on resume state (non-shared storage)
+  must fail with a clear error instead of silently training with
+  different weights per host."""
+  import subprocess
+  import sys as _sys
+
+  from tests.test_multihost_training import _free_port, _worker_env
+
+  port = _free_port()
+  # Host 0 resumes from a completed prior run; host 1 gets a fresh dir.
+  dir0 = str(tmp_path / 'host0')
+  dir1 = str(tmp_path / 'host1')
+  from deepconsensus_tpu.models import configs
+  from deepconsensus_tpu.train import loop
+
+  params = configs.get_config('transformer_learn_values+test')
+  with params.unlocked():
+    params.batch_size = 8
+    params.limit = 8
+    params.num_epochs = 1
+    params.buffer_size = 10
+    params.num_hidden_layers = 2
+    params.filter_size = 128
+    params.transformer_input_size = 64
+  loop.train(dir0, params, num_devices=1)
+
+  env = _worker_env()
+  procs = [
+      subprocess.Popen(
+          [_sys.executable, WORKER, str(i), '2', str(port), d],
+          env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+          text=True,
+      )
+      for i, d in enumerate((dir0, dir1))
+  ]
+  outs = [p.communicate(timeout=420)[0] for p in procs]
+  assert any(p.returncode != 0 for p in procs), outs
+  assert any('hosts disagree on resume state' in o for o in outs), (
+      outs[0][-2000:], outs[1][-2000:]
+  )
