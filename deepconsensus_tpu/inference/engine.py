@@ -454,8 +454,17 @@ class ModelRunner:
     tests/test_device_quality.py::test_enable_device_q_invalidates...).
     """
     fwd, ragged = self._forward_compact_fn, self._forward_ragged_fn
-    self._forward = jax.jit(lambda variables, compact: fwd(variables, compact))
-    self._forward_ragged = jax.jit(lambda variables, t: ragged(variables, t))
+
+    def forward(variables, compact):
+      return fwd(variables, compact)
+
+    def forward_ragged(variables, t):
+      return ragged(variables, t)
+
+    # Keep the original jit names: the persistent compilation cache keys
+    # include them, and a rename would recompile every cached executable.
+    self._forward = jax.jit(forward)
+    self._forward_ragged = jax.jit(forward_ragged)
     self._wire_jits: Dict[Any, Any] = {}
 
   def enable_device_q(self, options: InferenceOptions) -> bool:

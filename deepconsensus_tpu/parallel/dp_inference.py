@@ -119,14 +119,24 @@ class ShardedModelRunner:
       # traced with the maxp-returning graph survives the switch. Fresh
       # closures each time: jax.jit shares its trace cache by
       # underlying-function identity (see engine.ModelRunner._rebuild_jits).
+      fwd, ragged = forward, forward_ragged
+
+      def forward_wrap(variables, compact):
+        return fwd(variables, compact)
+
+      def forward_ragged_wrap(variables, t):
+        return ragged(variables, t)
+
+      # __name__ matches the originals: the persistent compilation cache
+      # keys include the jit name; a rename would recompile everything.
+      forward_wrap.__name__ = 'forward'
+      forward_ragged_wrap.__name__ = 'forward_ragged'
       self._forward = jax.jit(
-          lambda variables, compact: forward(variables, compact),
+          forward_wrap,
           in_shardings=dense_in_shardings,
           out_shardings=(shard, shard),
       )
-      self._forward_ragged = jax.jit(
-          lambda variables, t: forward_ragged(variables, t)
-      )
+      self._forward_ragged = jax.jit(forward_ragged_wrap)
       self._wire_jits = {}
 
     self._rebuild_jits = rebuild_jits
