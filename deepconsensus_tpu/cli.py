@@ -110,10 +110,13 @@ def _add_calibrate_parser(sub):
       'calibrate', help='Compute empirical-vs-predicted base quality stats.'
   )
   p.add_argument('--bam', required=True, help='Reads aligned to the truth.')
-  p.add_argument('--fasta', required=True, help='Truth reference FASTA (.fai).')
+  p.add_argument('--fasta', '--ref', required=True, dest='fasta',
+                 help='Truth reference FASTA (.fai); --ref as in the '
+                      'reference CLI.')
   p.add_argument('--output_csv', required=True)
   p.add_argument('--region', default=None)
-  p.add_argument('--interval_size', type=int, default=100000)
+  p.add_argument('--interval_size', '--interval_length', type=int,
+                 default=100000, dest='interval_size')
   p.add_argument('--cpus', type=int, default=0)
   p.add_argument('--min_mapq', type=int, default=60)
   p.add_argument('--dc_calibration', default='skip')
