@@ -517,16 +517,20 @@ class ModelRunner:
     never depends on the round size. Behind a high-latency link this turns
     4 upload RPCs per round into 1.
     """
-    packed = [data.wire_pack(t) for t, _ in transports]
-    total = sum(b.nbytes for b, _ in packed)
+    # Size pass first, then pack each batch straight into the round
+    # buffer (wire_pack(out=...)): one host copy of the ~13 MB round
+    # instead of per-batch buffers memcpy'd a second time.
+    sizes = [data.wire_layout(t)[1] for t, _ in transports]
+    total = sum(sizes)
     padded = -(-total // self.ROUND_PAD) * self.ROUND_PAD
     round_buf = np.zeros(padded, np.uint8)
     offsets = []
+    packed = []
     off = 0
-    for b, _ in packed:
-      round_buf[off : off + b.nbytes] = b
+    for (t, _), nbytes in zip(transports, sizes):
+      packed.append(data.wire_pack(t, out=round_buf, offset=off))
       offsets.append(off)
-      off += b.nbytes
+      off += nbytes
     dev_buf = jax.device_put(round_buf)
     out = []
     for (buf, layout), (_, n), off in zip(packed, transports, offsets):
@@ -987,7 +991,8 @@ class OutputWriter:
     if out_dir and not os.path.exists(out_dir):
       os.makedirs(out_dir, exist_ok=True)
     if self.is_bam:
-      header = bam.BamReader(ccs_bam_path).header
+      with bam.BamReader(ccs_bam_path) as reader:
+        header = reader.header
       self._writer = bam.BamWriter(output_fname, header)
     else:
       self._writer = fastq.FastqWriter(output_fname)
@@ -999,14 +1004,21 @@ class OutputWriter:
     name, seq, _, qual = fastq_string.splitlines()
     name = name[1:]
     qual_arr = np.frombuffer(qual.encode(), np.uint8) - 33
-    zmw = int(name.split('/')[1])
-    tags = b''.join([
-        bam.encode_tag('ec', first_pred.ec or -1, 'f'),
+    tags = [
+        # `ec` may legitimately be 0.0 — only None means "absent".
+        bam.encode_tag(
+            'ec', -1 if first_pred.ec is None else first_pred.ec, 'f'
+        ),
         bam.encode_tag('np', first_pred.np_num_passes, 'i'),
         bam.encode_tag('rq', first_pred.rq, 'f'),
         bam.encode_tag('RG', first_pred.rg, 'Z'),
-        bam.encode_tag('zm', zmw, 'i'),
-    ])
+    ]
+    try:
+      # PacBio movie/zmw/ccs naming; non-PacBio names simply omit zm.
+      tags.append(bam.encode_tag('zm', int(name.split('/')[1]), 'i'))
+    except (IndexError, ValueError):
+      pass
+    tags = b''.join(tags)
     blob = bam.build_record_blob(
         qname=name, flag=4, seq=seq, qual=qual_arr, tags=tags, mapq=255
     )
@@ -1078,9 +1090,14 @@ def enqueue_round(
       )
       for b in batches
   ]
+  # finish_round reads only the per-window metadata; keeping the dense
+  # f32 'rows' tiles (and labels) in the round state would pin ~35 MB per
+  # full batch for every in-flight round until collection.
+  meta_keys = ('window_pos', 'name', 'ec', 'np_num_passes', 'rq', 'rg')
+  meta_batches = [{k: b[k] for k in meta_keys} for b in batches]
   return _RoundState(
       batch_name=batch_name,
-      batches=batches,
+      batches=meta_batches,
       handles=handles,
       skipped_predictions=skipped,
       n_examples=n_examples,
@@ -1095,30 +1112,46 @@ def threaded_iter(gen, maxsize: int = 512):
 
   Overlaps BAM ingest (the feeder generator) with featurization and
   dispatch on the consuming thread. Exceptions re-raise at the consumer.
+  A consumer that stops early (generator .close(), e.g. --limit breaking
+  out of the round loop, or GC of an abandoned iterator) stops the
+  producer too: without that, the producer thread would fill the queue
+  and block on q.put forever, pinning the buffered subread tuples and
+  the open BAM readers for process lifetime.
   """
   import queue as queue_lib
   import threading
 
   q: 'queue_lib.Queue' = queue_lib.Queue(maxsize=maxsize)
   done = object()
+  stop = threading.Event()
 
   def run():
     try:
       for item in gen:
-        q.put(item)
+        while not stop.is_set():
+          try:
+            q.put(item, timeout=0.5)
+            break
+          except queue_lib.Full:
+            continue
+        if stop.is_set():
+          return
       q.put(done)
     except BaseException as e:  # re-raised at the consumer
       q.put(e)
 
   t = threading.Thread(target=run, daemon=True)
   t.start()
-  while True:
-    item = q.get()
-    if item is done:
-      break
-    if isinstance(item, BaseException):
-      raise item
-    yield item
+  try:
+    while True:
+      item = q.get()
+      if item is done:
+        break
+      if isinstance(item, BaseException):
+        raise item
+      yield item
+  finally:
+    stop.set()
 
 
 class AsyncDispatcher:
@@ -1504,36 +1537,44 @@ def run_inference(
       finish_oldest()
 
   # Ingest runs on a background thread so BAM decode of the next ZMWs
-  # overlaps featurization/dispatch of the current round.
-  for reads, zmw, cfg, split, window_widths in threaded_iter(proc_feeder()):
-    # --limit counts GLOBAL ZMW index (reference quick_inference.py:905-911)
-    # so the union of per-host partials is exactly `limit` ZMWs regardless
-    # of --num_hosts.
-    if limit and zmw_index >= limit:
-      break
-    my_zmw = zmw_index % num_hosts == host_id
-    zmw_index += 1
-    if not my_zmw:
-      continue
-    zmw_counter += 1
-    stored.append((reads, zmw, cfg, window_widths))
-    if batch_zmws and len(stored) >= batch_zmws:
+  # overlaps featurization/dispatch of the current round. The finally
+  # releases every resource on ANY exit: without it, an exception
+  # surfacing mid-run (a stitch error, a device failure) would leak the
+  # process pool and dispatcher thread and never close output_writer —
+  # losing buffered output and, for .bam, the BGZF EOF marker.
+  try:
+    ingest = threaded_iter(proc_feeder())
+    for reads, zmw, cfg, split, window_widths in ingest:
+      # --limit counts GLOBAL ZMW index (reference
+      # quick_inference.py:905-911) so the union of per-host partials is
+      # exactly `limit` ZMWs regardless of --num_hosts.
+      if limit and zmw_index >= limit:
+        ingest.close()  # stops the producer thread promptly
+        break
+      my_zmw = zmw_index % num_hosts == host_id
+      zmw_index += 1
+      if not my_zmw:
+        continue
+      zmw_counter += 1
+      stored.append((reads, zmw, cfg, window_widths))
+      if batch_zmws and len(stored) >= batch_zmws:
+        process_round(stored, str(batch_count))
+        batch_count += 1
+        stored = []
+        logger.info(
+            'Processed %s ZMWs in %0.3f seconds',
+            zmw_counter,
+            time.time() - before_all,
+        )
+    if stored:
       process_round(stored, str(batch_count))
-      batch_count += 1
-      stored = []
-      logger.info(
-          'Processed %s ZMWs in %0.3f seconds',
-          zmw_counter,
-          time.time() - before_all,
-      )
-  if stored:
-    process_round(stored, str(batch_count))
-  while in_flight:
-    finish_oldest()
-  dispatcher.shutdown()
-  if pool:
-    pool.shutdown(wait=True)
-  output_writer.close()
+    while in_flight:
+      finish_oldest()
+  finally:
+    dispatcher.shutdown()
+    if pool:
+      pool.shutdown(wait=True)
+    output_writer.close()
 
   elapsed = time.time() - before_all
   logger.info('Processed %s ZMWs in %0.3f seconds', zmw_counter, elapsed)

@@ -1001,10 +1001,23 @@ def wire_layout(transport: Dict[str, np.ndarray]):
   return tuple(items), off
 
 
-def wire_pack(transport: Dict[str, np.ndarray]):
-  """Fuses a transport dict into one flat uint8 buffer. -> (buf, layout)."""
+def wire_pack(
+    transport: Dict[str, np.ndarray],
+    out: Optional[np.ndarray] = None,
+    offset: int = 0,
+):
+  """Fuses a transport dict into one flat uint8 buffer. -> (buf, layout).
+
+  With `out`, the fields pack straight into out[offset : offset+total]
+  (and that view is returned) — the round-fused upload path uses this to
+  assemble a whole round's batches in the final buffer with one copy
+  instead of packing per-batch buffers and memcpying them again.
+  """
   layout, total = wire_layout(transport)
-  buf = np.empty(total, np.uint8)
+  if out is None:
+    buf = np.empty(total, np.uint8)
+  else:
+    buf = out[offset : offset + total]
   for k, _, _, off in layout:
     a = np.ascontiguousarray(transport[k])
     buf[off : off + a.nbytes] = a.view(np.uint8).reshape(-1)
