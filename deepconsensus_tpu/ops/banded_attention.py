@@ -37,7 +37,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, win: Optional[int],
       dimension_numbers=(((2,), (2,)), ((0,), (0,))),
       preferred_element_type=jnp.float32,
   )
-  if win is not None:
+  if win:  # win in (None, 0) = full attention (model.band_mask semantics)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     band = jnp.abs(row - col) <= win
@@ -82,6 +82,11 @@ def banded_attention(
   block_b = min(block_b, B)
   if not interpret and (not _on_tpu() or B % block_b != 0 or B < 2):
     return _xla_reference(q, k, v, win, scale)
+  if B % block_b != 0:
+    # interpret mode has no XLA fallback; a non-dividing block would drop
+    # the remainder rows of the grid (silent NaNs). Verification path, so
+    # per-example blocks are fine.
+    block_b = 1
 
   kernel = functools.partial(_attention_kernel, win=win, scale=scale)
   grid = (B // block_b, N)
@@ -112,7 +117,7 @@ def _xla_reference(q, k, v, win, scale):
   L = q.shape[1]
   logits = jnp.einsum('btnh,bfnh->bnft', k, q * scale)
   idx = jnp.arange(L)
-  if win is not None:
+  if win:  # win in (None, 0) = full attention (model.band_mask semantics)
     band = jnp.abs(idx[:, None] - idx[None, :]) <= win
     logits = jnp.where(band[None, None], logits, -1e9)
   w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deepconsensus_tpu.ops import banded_attention
+
 FFN_CHUNK = 512
 
 
@@ -50,7 +52,7 @@ def _fused_layer_kernel(
   x2 = x.reshape(BB * L, E)
 
   # ---- banded multi-head self-attention ----
-  if win is not None:
+  if win:  # win in (None, 0) = full attention (model.band_mask semantics)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     band = jnp.abs(row - col) <= win
@@ -89,7 +91,7 @@ def _fused_layer_kernel(
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    if win is not None:
+    if win:  # win in (None, 0) = full attention (model.band_mask semantics)
       logits = jnp.where(band[None, :, :], logits, -1e9)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -150,6 +152,12 @@ def fused_encoder_layer(
     return _xla_layer(
         x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn, win
     )
+  block_b = min(block_b, B)
+  if B % block_b != 0:
+    # interpret mode has no XLA fallback; a non-dividing block would drop
+    # the remainder rows of the grid (silent NaNs). Verification path, so
+    # per-example blocks are fine.
+    block_b = 1
   n_heads = wq.shape[1]
   kernel = functools.partial(_fused_layer_kernel, win=win, n_heads=n_heads)
   any_space = getattr(pl, 'ANY', None) or pltpu.ANY
@@ -194,11 +202,9 @@ def fused_encoder_layer(
   )(x, wq2, wk2, wv2, wo, a_attn, wf1, bf1_2d, wf2, bf2_2d, a_ffn)
 
 
-def _on_tpu() -> bool:
-  try:
-    return jax.devices()[0].platform in ('tpu', 'axon')
-  except Exception:
-    return False
+# Platform detection shared with the sibling kernel module so a PJRT
+# plugin rename is handled once.
+_on_tpu = banded_attention._on_tpu
 
 
 def _xla_layer(x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn,
@@ -211,7 +217,7 @@ def _xla_layer(x, wq, wk, wv, wo, alpha_attn, wf1, bf1, wf2, bf2, alpha_ffn,
   k = jnp.einsum('ble,enh->blnh', x, wk)
   v = jnp.einsum('ble,enh->blnh', x, wv)
   logits = jnp.einsum('bfnh,btnh->bnft', q, k)
-  if win is not None:
+  if win:  # win in (None, 0) = full attention (model.band_mask semantics)
     L = x.shape[1]
     idx = jnp.arange(L)
     band = jnp.abs(idx[:, None] - idx[None, :]) <= win
@@ -293,7 +299,7 @@ def _attn_sublayer(x2, BB, L, wq_ref, wk_ref, wv_ref, wo_ref, a_attn_ref,
   n_heads = wq_ref.shape[1]
   head_dim = wq_ref.shape[2]
   scale = head_dim**-0.5
-  if win is not None:
+  if win:  # win in (None, 0) = full attention (model.band_mask semantics)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     band = jnp.abs(row - col) <= win
@@ -319,7 +325,7 @@ def _attn_sublayer(x2, BB, L, wq_ref, wk_ref, wv_ref, wo_ref, a_attn_ref,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    if win is not None:
+    if win:  # win in (None, 0) = full attention (model.band_mask semantics)
       logits = jnp.where(band[None, :, :], logits, -1e9)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -433,7 +439,7 @@ def _attn_bwd_kernel(
   x2 = x_ref[:].reshape(BB * L, E)
   dy2 = dy2_ref[:].reshape(BB * L, E)
   a1 = a_attn_ref[0, 0]
-  if win is not None:
+  if win:  # win in (None, 0) = full attention (model.band_mask semantics)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     band = jnp.abs(row - col) <= win
@@ -449,7 +455,7 @@ def _attn_bwd_kernel(
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    if win is not None:
+    if win:  # win in (None, 0) = full attention (model.band_mask semantics)
       logits = jnp.where(band[None, :, :], logits, -1e9)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -488,7 +494,7 @@ def _attn_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     dlogits = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-    if win is not None:
+    if win:  # win in (None, 0) = full attention (model.band_mask semantics)
       dlogits = jnp.where(band[None, :, :], dlogits, 0.0)
     # dq[b,i,:] = sum_j dlogits[b,i,j] * k[b,j,:]
     dq = jax.lax.dot_general(
@@ -522,6 +528,9 @@ def fused_encoder_layer_fwd_save(
 ):
   """Forward returning (out, y2); y2 is the saved residual for backward."""
   B, L, E = x.shape
+  block_b = min(block_b, B)
+  if B % block_b != 0:
+    block_b = 1  # a non-dividing block would silently drop remainder rows
   kernel = functools.partial(_fwd_save_kernel, win=win)
   any_space = getattr(pl, 'ANY', None) or pltpu.ANY
   ms = any_space if interpret else pltpu.VMEM
@@ -568,6 +577,9 @@ def fused_encoder_layer_bwd(
   plus double-buffered activation blocks — under the ~16 MB scoped VMEM.
   """
   B, L, E = x.shape
+  block_b = min(block_b, B)
+  if B % block_b != 0:
+    block_b = 1  # a non-dividing block would silently drop remainder rows
   any_space = getattr(pl, 'ANY', None) or pltpu.ANY
   ms = any_space if interpret else pltpu.VMEM
 
@@ -730,6 +742,12 @@ def extract_layer_params(encoder_stack_params, num_layers):
   """Pulls per-layer weight dicts out of the flax EncoderStack pytree."""
   out = []
   es = encoder_stack_params
+  if 'alpha' not in es.get('attention_wrapper_0', {}):
+    raise ValueError(
+        'fused encoder requires a ReZero-parameterized stack '
+        "(params.rezero=True): 'attention_wrapper_0/alpha' not found. "
+        'Pre-LayerNorm (rezero=False) configs must use the XLA encoder.'
+    )
   for n in range(num_layers):
     attn = es[f'attention_{n}']
     ffn = es[f'ffn_{n}']

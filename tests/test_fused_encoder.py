@@ -165,3 +165,69 @@ def test_pallas_backward_odd_block(small_stack):
   g2 = jax.grad(loss_xla, argnums=(0, 6, 9))(*args)
   for a, b in zip(g1, g2):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_interpret_mode_handles_indivisible_batches():
+  """B not divisible by block_b must not drop grid rows (was: silent NaNs
+  for the remainder examples in interpret mode, which has no XLA
+  fallback)."""
+  import numpy as np
+
+  from deepconsensus_tpu.ops import fused_encoder as fe
+
+  rng = np.random.default_rng(0)
+  B, L, E, N = 6, 16, 32, 2
+  H = E // N
+  x = rng.normal(size=(B, L, E)).astype(np.float32)
+  args = dict(
+      wq=rng.normal(size=(E, N, H)).astype(np.float32) * 0.1,
+      wk=rng.normal(size=(E, N, H)).astype(np.float32) * 0.1,
+      wv=rng.normal(size=(E, N, H)).astype(np.float32) * 0.1,
+      wo=rng.normal(size=(N, H, E)).astype(np.float32) * 0.1,
+      alpha_attn=np.float32(0.5),
+      wf1=rng.normal(size=(E, 2 * E)).astype(np.float32) * 0.1,
+      bf1=np.zeros(2 * E, np.float32),
+      wf2=rng.normal(size=(2 * E, E)).astype(np.float32) * 0.1,
+      bf2=np.zeros(E, np.float32),
+      alpha_ffn=np.float32(0.5),
+  )
+  out = fe.fused_encoder_layer(x, win=4, block_b=4, interpret=True, **args)
+  assert np.isfinite(np.asarray(out)).all()
+  ref = fe._xla_layer(
+      x, args['wq'], args['wk'], args['wv'], args['wo'], args['alpha_attn'],
+      args['wf1'], args['bf1'], args['wf2'], args['bf2'], args['alpha_ffn'],
+      4,
+  )
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_win_zero_means_full_attention():
+  """attn_win_size=0 is FULL attention in the model/reference (falsy ->
+  no band mask); the kernels must agree, not mask to the diagonal."""
+  import numpy as np
+
+  from deepconsensus_tpu.ops import banded_attention as ba
+
+  rng = np.random.default_rng(1)
+  B, L, N, H = 2, 8, 2, 4
+  q = rng.normal(size=(B, L, N, H)).astype(np.float32)
+  k = rng.normal(size=(B, L, N, H)).astype(np.float32)
+  v = rng.normal(size=(B, L, N, H)).astype(np.float32)
+  full_none = ba._xla_reference(q, k, v, None, H**-0.5)
+  full_zero = ba._xla_reference(q, k, v, 0, H**-0.5)
+  np.testing.assert_array_equal(
+      np.asarray(full_none), np.asarray(full_zero)
+  )
+  kernel_zero = ba.banded_attention(q, k, v, win=0, interpret=True)
+  np.testing.assert_allclose(
+      np.asarray(kernel_zero), np.asarray(full_none), atol=2e-5
+  )
+
+
+def test_fused_requires_rezero_params():
+  import pytest as _pytest
+
+  from deepconsensus_tpu.ops import fused_encoder as fe
+
+  with _pytest.raises(ValueError, match='rezero'):
+    fe.extract_layer_params({'attention_0': {}, 'ffn_0': {}}, 1)
