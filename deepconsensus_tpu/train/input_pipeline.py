@@ -111,9 +111,16 @@ def _host_shard(file_patterns, host_id: int, num_hosts: int) -> List[str]:
     raise FileNotFoundError(f'no tfrecord files match {file_patterns!r}')
   if num_hosts > 1:
     sharded = files[host_id::num_hosts]
-    # Fall back to all files when there are fewer shards than hosts (the
-    # batch axis still splits across chips).
-    files = sharded or files
+    if not sharded:
+      # multihost_stream owns the fewer-files-than-hosts case (it slices
+      # the full stream); a silent fall-back to ALL files here would
+      # duplicate data across hosts with uneven per-host epochs.
+      raise ValueError(
+          f'host {host_id}/{num_hosts} has no input files '
+          f'({len(files)} total match {file_patterns!r}); use '
+          'multihost_stream for fewer files than hosts'
+      )
+    files = sharded
   return files
 
 
@@ -168,7 +175,10 @@ def example_stream(
   def batches():
     while True:
       rows_buf, label_buf = [], []
+      yielded = False
+      n_seen = 0
       for rows, label in epoch_stream():
+        n_seen += 1
         rows_buf.append(rows)
         label_buf.append(label)
         if len(rows_buf) == batch_size:
@@ -176,12 +186,25 @@ def example_stream(
               np.stack(label_buf) if label_buf[0] is not None else None
           )
           yield np.stack(rows_buf), labels
+          yielded = True
           rows_buf, label_buf = [], []
       if rows_buf and not drop_remainder:
         labels = np.stack(label_buf) if label_buf[0] is not None else None
         yield np.stack(rows_buf), labels
+        yielded = True
       if not repeat:
         return
+      if not yielded:
+        # With drop_remainder + repeat, a source smaller than one batch
+        # would loop forever without producing anything — on a multi-host
+        # job that silently hangs the whole pod in the first all-reduce
+        # (one starving host never reaches it). Fail loudly instead.
+        raise ValueError(
+            f'input {file_patterns!r} yields only {n_seen} examples per '
+            f'epoch — fewer than batch_size {batch_size} with '
+            'drop_remainder; for multi-host training this usually means '
+            'a host file shard is smaller than the LOCAL batch size'
+        )
 
   return batches()
 
@@ -224,16 +247,40 @@ def multihost_stream(
         shuffle_buffer=shuffle_buffer, seed=seed, num_workers=num_workers,
     )
   files = create_glob_list(file_patterns)
+  if not files:
+    # Validate eagerly: deferring into the generator would surface a
+    # mistyped path as a bare StopIteration from the Prefetcher worker
+    # instead of this error.
+    raise FileNotFoundError(f'no tfrecord files match {file_patterns!r}')
+  import jax
+
+  if jax.process_count() == num_hosts and num_hosts > 1:
+    # The sharded-vs-sliced branch must be the SAME on every host (a
+    # shared-FS listing lag could make hosts see different file counts;
+    # both branches yield correctly-shaped local batches, so divergence
+    # would silently duplicate/drop examples in the global batch).
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        np.asarray([len(files)], np.int32)
+    )
+    if not (counts == counts[0]).all():
+      raise ValueError(
+          f'hosts disagree on the input file count ({counts.ravel().tolist()}'
+          f' for {file_patterns!r}): shared storage not yet consistent?'
+      )
   if len(files) >= num_hosts:
+    # Pass the resolved listing down (single directory scan; the branch
+    # decision and the shard assignment see the same files).
     return example_stream(
-        file_patterns, params, local,
+        files, params, local,
         shuffle_buffer=shuffle_buffer, seed=seed,
         host_id=host_id, num_hosts=num_hosts, num_workers=num_workers,
     )
 
   def sliced():
     stream = example_stream(
-        file_patterns, params, global_batch_size,
+        files, params, global_batch_size,
         shuffle_buffer=shuffle_buffer, seed=seed, num_workers=num_workers,
     )
     for rows, labels in stream:

@@ -539,8 +539,12 @@ def train(
         opt_state=jax.device_get(opt_state),
     )
     if is_main:
+      # Marker field 2 is the WITHIN-EPOCH step (what the resume parser
+      # and the in-loop marker use) — writing the global `step` here
+      # would inflate step numbers on every rerun of a short job.
+      final_step_train = (step - 1) % steps_per_epoch if step else 0
       with open(eval_checkpoint_path, 'w') as f:
-        f.write(f'{ckpt_name}\t{frozen.num_epochs - 1}\t{step}')
+        f.write(f'{ckpt_name}\t{frozen.num_epochs - 1}\t{final_step_train}')
       if write_checkpoint_metrics:
         write_metrics_row(
             metrics_tsv, os.path.basename(ckpt_name), last_eval_metrics

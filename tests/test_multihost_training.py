@@ -282,3 +282,40 @@ def test_multihost_resume_divergence_fails_loudly(tmp_path):
   assert any('hosts disagree on resume state' in o for o in outs), (
       outs[0][-2000:], outs[1][-2000:]
   )
+
+
+def test_starving_shard_raises_instead_of_hanging(tmp_path):
+  """A repeating stream whose source yields fewer examples than one batch
+  (e.g. a host file shard smaller than the LOCAL batch) must raise, not
+  busy-loop forever — on a pod that silent loop hangs every host in the
+  first all-reduce."""
+  from deepconsensus_tpu.io import tfrecord
+  from deepconsensus_tpu.models import configs
+  from deepconsensus_tpu.train import input_pipeline
+
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  src = input_pipeline.create_glob_list(params.train_path)
+  records = list(tfrecord.read_tfrecords(src[0]))[:3]
+  with tfrecord.TFRecordWriter(str(tmp_path / 'tiny.tfrecord.gz')) as w:
+    for rec in records:
+      w.write(rec)
+  stream = input_pipeline.example_stream(
+      str(tmp_path / 'tiny.tfrecord.gz'), params, 8, shuffle_buffer=0
+  )
+  with pytest.raises(ValueError, match='fewer than batch_size'):
+    next(stream)
+
+
+def test_multihost_stream_empty_glob_raises_eagerly():
+  """A mistyped path must raise at construction, not surface as a bare
+  StopIteration from the Prefetcher worker thread."""
+  from deepconsensus_tpu.models import configs
+  from deepconsensus_tpu.train import input_pipeline
+
+  params = configs.get_config('transformer_learn_values+test')
+  configs.finalize_params(params)
+  with pytest.raises(FileNotFoundError):
+    input_pipeline.multihost_stream(
+        '/nonexistent/path/*.tfrecord.gz', params, 8, host_id=0, num_hosts=2
+    )
