@@ -98,6 +98,7 @@ class BamRecord:
       '_tags',
       '_fast_tags',
       '_fast_complete',
+      '_tags_dirty',
       'header',
   )
 
@@ -115,6 +116,7 @@ class BamRecord:
     self._seq_bytes: Optional[np.ndarray] = None
     self._seq_str: Optional[str] = None
     self._tag_blob: bytes = b''
+    self._tags_dirty = False
     self._tags: Optional[Dict[str, Any]] = None
     # Tags pre-extracted by the native batch parser (zm/pw/ip/sn/ec/np/rq).
     # Takes precedence over the blob; merged into _tags on full parse.
@@ -266,6 +268,7 @@ class BamRecord:
     return name in self.tags
 
   def set_tag(self, name: str, value: Any) -> None:
+    self._tags_dirty = True
     if self._tags is None and self._fast_tags is not None:
       self._fast_tags[name] = value
     else:
@@ -370,15 +373,6 @@ def _parse_tags(blob: bytes) -> Dict[str, Any]:
     else:
       raise ValueError(f'unsupported BAM tag type {chr(typ)!r}')
   return tags
-
-
-def decode_seq(packed: bytes, l_seq: int) -> str:
-  """Unpacks 4-bit encoded bases to an ASCII string."""
-  raw = np.frombuffer(packed, dtype=np.uint8)
-  nibbles = np.empty(len(raw) * 2, dtype=np.uint8)
-  nibbles[0::2] = raw >> 4
-  nibbles[1::2] = raw & 0x0F
-  return _NIBBLE_TO_CHAR[nibbles[:l_seq]].tobytes().decode('ascii')
 
 
 def encode_seq(seq: str) -> bytes:
@@ -570,8 +564,11 @@ class BamReader:
       self._pos += 1
       return rec
     if self._buf is not None:
-      if self._pos + 4 > len(self._buf):
+      if self._pos == len(self._buf):
         raise StopIteration
+      if self._pos + 4 > len(self._buf):
+        # 1-3 trailing bytes: a record size field was cut mid-write.
+        raise IOError('truncated BAM record size field')
       (block_size,) = struct.unpack_from('<i', self._buf, self._pos)
       start = self._pos + 4
       if start + block_size > len(self._buf):
@@ -579,8 +576,10 @@ class BamReader:
       self._pos = start + block_size
       return parse_record(self._buf[start : start + block_size], self.header)
     size_bytes = self._r.read(4)
-    if len(size_bytes) < 4:
+    if not size_bytes:
       raise StopIteration
+    if len(size_bytes) < 4:
+      raise IOError('truncated BAM record size field')
     (block_size,) = struct.unpack('<i', size_bytes)
     blob = self._r.read(block_size)
     if len(blob) < block_size:
@@ -608,7 +607,7 @@ def encode_tag(name: str, value: Any, type_hint: Optional[str] = None) -> bytes:
       type_hint = 'i'
     elif isinstance(value, str):
       type_hint = 'Z'
-    elif isinstance(value, np.ndarray):
+    elif isinstance(value, (np.ndarray, list, tuple)):
       type_hint = 'B'
     else:
       raise ValueError(f'cannot infer tag type for {value!r}')
@@ -622,6 +621,17 @@ def encode_tag(name: str, value: Any, type_hint: Optional[str] = None) -> bytes:
     return tag + b'A' + value.encode('ascii')
   if type_hint == 'B':
     arr = np.asarray(value)
+    if arr.dtype in (np.int64, np.uint64):
+      # numpy's default for Python int lists; BAM 'B' subtypes stop at
+      # 32 bits, so downcast when the values fit and fail clearly when
+      # they don't (instead of a bare KeyError on the dtype).
+      target = np.int32 if arr.dtype == np.int64 else np.uint32
+      cast = arr.astype(target)
+      if not np.array_equal(cast, arr):
+        raise ValueError(
+            f'tag {name!r}: values exceed 32-bit BAM array range'
+        )
+      arr = cast
     sub = {
         np.dtype(np.int8): b'c',
         np.dtype(np.uint8): b'C',
@@ -699,7 +709,15 @@ class BamWriter:
 
   def write_record(self, rec: BamRecord, tags: Optional[bytes] = None) -> None:
     if tags is None:
-      tags = bytes(rec._tag_blob)  # pylint: disable=protected-access
+      if rec._tags_dirty:  # pylint: disable=protected-access
+        # set_tag landed in the parsed dict, not the raw blob; writing
+        # the blob would silently discard the modification. Re-encode
+        # (type codes normalize to the inferred width).
+        tags = b''.join(
+            encode_tag(k, v) for k, v in rec.tags.items()
+        )
+      else:
+        tags = bytes(rec._tag_blob)  # pylint: disable=protected-access
     self.write_blob(
         build_record_blob(
             rec.qname,

@@ -65,10 +65,16 @@ class BgzfReader:
     if bsize is None:
       raise BgzfError('gzip member missing BGZF BC subfield')
     # Remainder: compressed data + CRC32 + ISIZE.
-    payload = self._fh.read(bsize - _BGZF_HEADER_LEN - xlen)
+    want = bsize - _BGZF_HEADER_LEN - xlen
+    payload = self._fh.read(want)
+    if len(payload) < max(want, 8):
+      raise BgzfError('truncated BGZF block payload')
     cdata = payload[:-8]
     isize = struct.unpack('<I', payload[-4:])[0]
-    data = zlib.decompress(cdata, -15)
+    try:
+      data = zlib.decompress(cdata, -15)
+    except zlib.error as e:
+      raise BgzfError(f'corrupt BGZF block: {e}') from e
     if len(data) != isize:
       raise BgzfError('BGZF block ISIZE mismatch')
     return data
@@ -109,13 +115,14 @@ class BgzfReader:
     from deepconsensus_tpu import native
 
     raw = None
+    arr = None
+    got = 0
     try:
       # Read into a pooled (already-faulted) buffer: fresh pages in this
       # VM fault pathologically slowly, and this read runs every round.
       remaining = os.fstat(self._fh.fileno()).st_size - self._fh.tell()
       if remaining > 0:
         arr = native.take_pooled_buffer(remaining)
-        got = 0
         while got < remaining:
           # Loop: raw (unbuffered) streams may short-read; a single
           # readinto must not silently truncate the trailing members.
@@ -127,7 +134,11 @@ class BgzfReader:
     except (OSError, AttributeError, ValueError):
       raw = None
     if raw is None:
-      raw = self._fh.read()
+      # Bytes consumed before a partial-read failure must not be lost:
+      # resuming with a bare read() would drop the prefix and silently
+      # corrupt (or confusingly fail) the member stream.
+      prefix = bytes(arr[:got]) if arr is not None and got else b''
+      raw = prefix + self._fh.read()
     if len(raw):
       head = bytes(self._buf[self._buf_pos :])
       inflated = native.bgzf_decompress_into(raw, head=head)
@@ -138,14 +149,20 @@ class BgzfReader:
         self._buf_pos = 0
         import io
 
+        # Parse from a temporary handle; rebinding self._fh would make
+        # close() close the BytesIO and leak the real descriptor.
+        orig_fh = self._fh
         self._fh = io.BytesIO(
             raw.tobytes() if hasattr(raw, 'tobytes') else raw
         )
-        while True:
-          block = self._read_block()
-          if block is None:
-            break
-          chunks.append(block)
+        try:
+          while True:
+            block = self._read_block()
+            if block is None:
+              break
+            chunks.append(block)
+        finally:
+          self._fh = orig_fh
         self._eof = True
         return b''.join(chunks)
       self._buf = b''
@@ -189,7 +206,6 @@ class BgzfWriter:
     c = zlib.compressobj(self._level, zlib.DEFLATED, -15)
     cdata = c.compress(data) + c.flush()
     crc = zlib.crc32(data) & 0xFFFFFFFF
-    bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+crc(4)+isize(4) = 26 - 1
     block = (
         b'\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff'
         + struct.pack('<H', 6)
@@ -199,7 +215,6 @@ class BgzfWriter:
         + cdata
         + struct.pack('<II', crc, len(data))
     )
-    del bsize
     self._fh.write(block)
 
   def flush(self) -> None:
@@ -244,9 +259,19 @@ def read_member_at(fh) -> Optional[tuple]:
     i += 4 + slen
   if bsize is None:
     raise BgzfError('gzip member missing BGZF BC subfield')
-  payload = fh.read(bsize - _BGZF_HEADER_LEN - xlen)
+  want = bsize - _BGZF_HEADER_LEN - xlen
+  payload = fh.read(want)
+  if len(payload) < max(want, 8):
+    raise BgzfError('truncated BGZF block payload')
   cdata = payload[:-8]
-  data = zlib.decompress(cdata, -15)
+  try:
+    data = zlib.decompress(cdata, -15)
+  except zlib.error as e:
+    raise BgzfError(f'corrupt BGZF block: {e}') from e
+  # Same integrity bar as the sequential reader (_read_block).
+  isize = struct.unpack('<I', payload[-4:])[0]
+  if len(data) != isize:
+    raise BgzfError('BGZF block ISIZE mismatch')
   return data, bsize
 
 

@@ -197,7 +197,18 @@ class ZmwStack:
       data[cfg.indices('strand', n)] = strands[:, None]
     data[cfg.indices('ccs')] = constants.BASE_TO_ID[self.ccs.bases]
     if cfg.use_ccs_bq:
-      data[cfg.indices('ccs_bq')] = self.ccs.base_quality_scores
+      bq_src = self.ccs.base_quality_scores
+      if len(bq_src) == data.shape[1]:
+        data[cfg.indices('ccs_bq')] = bq_src
+      else:
+        # All-zero qualities stay UNSPACED (spacing's `if bq.any()` quirk
+        # mirroring the reference); window the raw array over a -1 gap
+        # sentinel row exactly as zmw_window_block does, instead of
+        # crashing on the width mismatch.
+        row = np.full(data.shape[1], -1, dtype=data.dtype)
+        m = min(len(bq_src), data.shape[1])
+        row[:m] = bq_src[:m]
+        data[cfg.indices('ccs_bq')] = row
     data[cfg.indices('sn')] = np.asarray(self.subreads[0].sn, dtype=np.float64)[
         :, None
     ]

@@ -131,3 +131,61 @@ def test_malformed_window_values_do_not_nan(tmp_path):
   rows = np.full((1, params.total_rows, 100, 1), 7.0, np.float32)  # strand=7!
   out = m.apply(v, rows, deterministic=True)
   assert bool(np.isfinite(np.asarray(out)).all())
+
+
+def test_partial_size_field_is_truncation_not_eof(tmp_path):
+  """1-3 trailing bytes after the last record (a size field cut
+  mid-write) must raise IOError, not parse as a clean EOF."""
+  from deepconsensus_tpu.io import bam, bgzf
+
+  td = '/root/reference/deepconsensus/testdata/human_1m'
+  with bam.BamReader(f'{td}/ccs.bam') as r:
+    header = r.header
+    recs = list(r)
+  path = str(tmp_path / 'cut.bam')
+  with bam.BamWriter(path, header) as w:
+    w.write_record(recs[0])
+  # Append a partial size field inside a fresh BGZF member.
+  with open(path, 'rb') as f:
+    payload = f.read()
+  with open(path, 'wb') as f:
+    f.write(payload[: len(payload) - len(bgzf._BGZF_EOF)])
+    w2 = bgzf.BgzfWriter(f)
+    w2.write(b'\x01\x02')  # 2 of 4 size-field bytes
+    w2.close()
+  with pytest.raises(IOError, match='size field'):
+    with bam.BamReader(path) as r:
+      list(r)
+
+
+def test_set_tag_survives_write_record(tmp_path):
+  """set_tag modifications must reach the output BAM (the writer used to
+  serialize the stale raw tag blob)."""
+  import numpy as np
+
+  from deepconsensus_tpu.io import bam
+
+  td = '/root/reference/deepconsensus/testdata/human_1m'
+  with bam.BamReader(f'{td}/subreads_to_ccs.bam') as r:
+    header = r.header
+    rec = next(iter(r))
+  rec.set_tag('pw', np.asarray(rec.get_tag('pw'))[:5])
+  rec.set_tag('zz', 42)
+  path = str(tmp_path / 'tagged.bam')
+  with bam.BamWriter(path, header) as w:
+    w.write_record(rec)
+  with bam.BamReader(path) as r:
+    out = next(iter(r))
+  assert len(np.asarray(out.get_tag('pw'))) == 5
+  assert out.get_tag('zz') == 42
+
+
+def test_int_list_tags_encode_as_32bit():
+  import numpy as np
+
+  from deepconsensus_tpu.io import bam
+
+  blob = bam.encode_tag('pw', [10, 12, 9])
+  assert blob[2:4] == b'Bi'
+  with pytest.raises(ValueError, match='32-bit'):
+    bam.encode_tag('pw', np.asarray([2**40]))
