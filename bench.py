@@ -498,26 +498,26 @@ WINDOWS_PER_ZMW = 7965 / 50.0
 
 
 def headline_value(partial, extra) -> float:
-  """The ZMW/s to emit, with a labeled windows/s-derived fallback.
+  """The measured ZMW/s to emit; unmeasured runs emit 0.0.
 
   Over a bad tunnel phase, compiles alone can take minutes and no full
-  50-ZMW round may finish inside the budget; recording 0.0 then reports a
-  regression that is really a device-reachability artifact (round 3's
-  scoreboard failure mode). The windows/s probe pays the same per-batch
-  H2D + dispatch + compute the pipeline pays, so windows/s divided by the
-  shard's windows-per-ZMW tracks the same bottleneck; the fallback is
-  always labeled via `estimated_from_windows_per_sec`, and any finished
-  pipeline round supersedes it.
+  50-ZMW round may finish inside the budget. `value` must never report an
+  estimate as a measurement (a consumer parsing only value/vs_baseline
+  would score it as measured), so in that case `value` is 0.0 and the
+  windows/s-derived estimate — the probe pays the same per-batch H2D +
+  dispatch + compute the pipeline pays — ships under the separate
+  `estimated_zmws_per_sec` key, with `last_good_run` attached by _emit.
   """
   zmws_per_sec = partial.get('zmws_per_sec', 0.0)
   if zmws_per_sec == 0.0 and partial.get('windows_per_sec', 0.0) > 0:
-    zmws_per_sec = partial['windows_per_sec'] / WINDOWS_PER_ZMW
+    extra['estimated_zmws_per_sec'] = round(
+        partial['windows_per_sec'] / WINDOWS_PER_ZMW, 3
+    )
     extra['note'] = (
         (extra.get('note', '') + '; ' if extra.get('note') else '')
-        + 'value estimated from measured windows/s (no full pipeline '
-        'round finished inside the budget — slow tunnel phase)'
+        + 'no full pipeline round finished inside the budget (slow tunnel '
+        'phase); value is 0.0, see estimated_zmws_per_sec/last_good_run'
     )
-    extra['estimated_from_windows_per_sec'] = True
   return zmws_per_sec
 
 

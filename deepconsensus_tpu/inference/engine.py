@@ -1125,20 +1125,24 @@ def threaded_iter(gen, maxsize: int = 512):
   done = object()
   stop = threading.Event()
 
+  def put_until_stopped(item) -> bool:
+    """Bounded put that gives up once the consumer has detached."""
+    while not stop.is_set():
+      try:
+        q.put(item, timeout=0.5)
+        return True
+      except queue_lib.Full:
+        continue
+    return False
+
   def run():
     try:
       for item in gen:
-        while not stop.is_set():
-          try:
-            q.put(item, timeout=0.5)
-            break
-          except queue_lib.Full:
-            continue
-        if stop.is_set():
+        if not put_until_stopped(item):
           return
-      q.put(done)
+      put_until_stopped(done)
     except BaseException as e:  # re-raised at the consumer
-      q.put(e)
+      put_until_stopped(e)
 
   t = threading.Thread(target=run, daemon=True)
   t.start()

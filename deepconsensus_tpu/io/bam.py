@@ -99,6 +99,7 @@ class BamRecord:
       '_fast_tags',
       '_fast_complete',
       '_tags_dirty',
+      '_tags_modified',
       'header',
   )
 
@@ -117,6 +118,7 @@ class BamRecord:
     self._seq_str: Optional[str] = None
     self._tag_blob: bytes = b''
     self._tags_dirty = False
+    self._tags_modified: Optional[set] = None
     self._tags: Optional[Dict[str, Any]] = None
     # Tags pre-extracted by the native batch parser (zm/pw/ip/sn/ec/np/rq).
     # Takes precedence over the blob; merged into _tags on full parse.
@@ -269,6 +271,9 @@ class BamRecord:
 
   def set_tag(self, name: str, value: Any) -> None:
     self._tags_dirty = True
+    if self._tags_modified is None:
+      self._tags_modified = set()
+    self._tags_modified.add(name)
     if self._tags is None and self._fast_tags is not None:
       self._fast_tags[name] = value
     else:
@@ -341,37 +346,46 @@ class BamRecord:
     )
 
 
-def _parse_tags(blob: bytes) -> Dict[str, Any]:
-  """Decodes the aux-tag region of a BAM record."""
-  tags: Dict[str, Any] = {}
+def _iter_tag_spans(blob: bytes):
+  """Yields (name, start, end) byte spans for each aux tag in the blob."""
   off = 0
   n = len(blob)
   while off + 3 <= n:
+    start = off
     name = blob[off : off + 2].decode('ascii')
     typ = blob[off + 2]
     off += 3
     if typ in _TAG_FMT:
-      fmt, size = _TAG_FMT[typ]
-      (val,) = struct.unpack_from('<' + fmt, blob, off)
-      if typ == ord('A'):
-        val = val.decode('ascii')
-      off += size
-      tags[name] = val
+      off += _TAG_FMT[typ][1]
     elif typ in (ord('Z'), ord('H')):
-      end = blob.index(b'\x00', off)
-      tags[name] = blob[off:end].decode('ascii')
-      off = end + 1
+      off = blob.index(b'\x00', off) + 1
     elif typ == ord('B'):
       subtype = blob[off]
       (count,) = struct.unpack_from('<i', blob, off + 1)
-      dtype = _ARRAY_DTYPES[subtype]
-      itemsize = np.dtype(dtype).itemsize
-      start = off + 5
-      arr = np.frombuffer(blob[start : start + count * itemsize], dtype=dtype)
-      tags[name] = arr
-      off = start + count * itemsize
+      itemsize = np.dtype(_ARRAY_DTYPES[subtype]).itemsize
+      off += 5 + count * itemsize
     else:
       raise ValueError(f'unsupported BAM tag type {chr(typ)!r}')
+    yield name, start, off
+
+
+def _parse_tags(blob: bytes) -> Dict[str, Any]:
+  """Decodes the aux-tag region of a BAM record."""
+  tags: Dict[str, Any] = {}
+  for name, start, end in _iter_tag_spans(blob):
+    typ = blob[start + 2]
+    off = start + 3
+    if typ in _TAG_FMT:
+      fmt, _ = _TAG_FMT[typ]
+      (val,) = struct.unpack_from('<' + fmt, blob, off)
+      if typ == ord('A'):
+        val = val.decode('ascii')
+      tags[name] = val
+    elif typ in (ord('Z'), ord('H')):
+      tags[name] = blob[off : end - 1].decode('ascii')
+    elif typ == ord('B'):
+      dtype = _ARRAY_DTYPES[blob[off]]
+      tags[name] = np.frombuffer(blob[off + 5 : end], dtype=dtype)
   return tags
 
 
@@ -612,7 +626,15 @@ def encode_tag(name: str, value: Any, type_hint: Optional[str] = None) -> bytes:
     else:
       raise ValueError(f'cannot infer tag type for {value!r}')
   if type_hint == 'i':
-    return tag + b'i' + struct.pack('<i', int(value))
+    v = int(value)
+    # BAM stores signed and unsigned 32-bit ints under distinct codes;
+    # a uint32 value >= 2**31 must re-encode as 'I' or struct.pack('<i')
+    # raises. Pick the narrowest standard 32-bit code that fits.
+    if -(2**31) <= v < 2**31:
+      return tag + b'i' + struct.pack('<i', v)
+    if 0 <= v < 2**32:
+      return tag + b'I' + struct.pack('<I', v)
+    raise ValueError(f'tag {name!r}: value {v} exceeds 32-bit BAM int range')
   if type_hint == 'f':
     return tag + b'f' + struct.pack('<f', float(value))
   if type_hint == 'Z':
@@ -711,11 +733,24 @@ class BamWriter:
     if tags is None:
       if rec._tags_dirty:  # pylint: disable=protected-access
         # set_tag landed in the parsed dict, not the raw blob; writing
-        # the blob would silently discard the modification. Re-encode
-        # (type codes normalize to the inferred width).
-        tags = b''.join(
-            encode_tag(k, v) for k, v in rec.tags.items()
-        )
+        # the blob would silently discard the modification. Splice: tags
+        # untouched by set_tag keep their original bytes (preserving 'A',
+        # 'H', and exact int width codes); only modified/new tags are
+        # re-encoded, with new tags appended after the originals.
+        modified = rec._tags_modified or set()  # pylint: disable=protected-access
+        blob = bytes(rec._tag_blob)  # pylint: disable=protected-access
+        parts = []
+        seen = set()
+        for name, start, end in _iter_tag_spans(blob):
+          seen.add(name)
+          if name in modified:
+            parts.append(encode_tag(name, rec.tags[name]))
+          else:
+            parts.append(blob[start:end])
+        for name, value in rec.tags.items():
+          if name not in seen:
+            parts.append(encode_tag(name, value))
+        tags = b''.join(parts)
       else:
         tags = bytes(rec._tag_blob)  # pylint: disable=protected-access
     self.write_blob(

@@ -63,21 +63,24 @@ def test_emit_json_line_shape():
   assert 'error' not in out['stage']
 
 
-def test_headline_value_fallback_is_labeled():
-  """A slow phase with only a windows/s measurement must emit a labeled
-  nonzero estimate, never a bare 0.0 (round-3/4 scoreboard failure mode);
-  a finished pipeline round must supersede it unlabeled."""
+def test_headline_value_fallback_is_separate_key():
+  """`value` only ever carries a measured pipeline rate (advisor r4): a
+  slow phase with only a windows/s measurement emits value 0.0 plus the
+  estimate under `estimated_zmws_per_sec`; a finished pipeline round is
+  reported directly with no estimate key."""
   extra = {'note': 'watchdog'}
   v = bench.headline_value({'windows_per_sec': 5567.6}, extra)
-  assert v == pytest.approx(5567.6 / bench.WINDOWS_PER_ZMW)
-  assert extra['estimated_from_windows_per_sec'] is True
-  assert 'estimated' in extra['note'] and 'watchdog' in extra['note']
+  assert v == 0.0
+  assert extra['estimated_zmws_per_sec'] == pytest.approx(
+      5567.6 / bench.WINDOWS_PER_ZMW, abs=0.01
+  )
+  assert 'estimated_zmws_per_sec' in extra['note'] and 'watchdog' in extra['note']
 
   extra = {}
   v = bench.headline_value(
       {'windows_per_sec': 5567.6, 'zmws_per_sec': 61.6}, extra
   )
   assert v == 61.6
-  assert 'estimated_from_windows_per_sec' not in extra
+  assert 'estimated_zmws_per_sec' not in extra
 
   assert bench.headline_value({}, {}) == 0.0

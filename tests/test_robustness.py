@@ -189,3 +189,45 @@ def test_int_list_tags_encode_as_32bit():
   assert blob[2:4] == b'Bi'
   with pytest.raises(ValueError, match='32-bit'):
     bam.encode_tag('pw', np.asarray([2**40]))
+
+
+def test_dirty_reencode_preserves_unmodified_tag_bytes(tmp_path):
+  """set_tag on one tag must not corrupt the encodings of the others.
+
+  Regression (advisor r4): a uint32 'I' tag >= 2**31 used to re-encode as
+  'i' and raise struct.error; 'A' and 'H' tags silently normalized to 'Z'.
+  The splice re-encode keeps unmodified tags' original bytes verbatim.
+  """
+  import struct
+
+  from deepconsensus_tpu.io import bam
+
+  header = bam.BamHeader(text='@HD\tVN:1.5\n', references=[])
+  rec = bam.parse_record(
+      bam.build_record_blob(
+          'm/1/ccs',
+          4,
+          'ACGT',
+          None,
+          tags=(
+              b'xaA' + b'Q'                       # 'A' single char
+              + b'xbI' + struct.pack('<I', 2**31 + 7)  # uint32 > int31
+              + b'xcH' + b'1AFF\x00'              # hex byte string
+              + b'xdi' + struct.pack('<i', -3)
+          ),
+      )
+  )
+  assert rec.get_tag('xb') == 2**31 + 7
+  rec.set_tag('xd', 99)           # modify one tag
+  rec.set_tag('xe', 2**31 + 1)    # new tag needing the 'I' code
+  path = str(tmp_path / 'types.bam')
+  with bam.BamWriter(path, header) as w:
+    w.write_record(rec)
+  with bam.BamReader(path) as r:
+    out = next(iter(r))
+  blob = bytes(out._tag_blob)  # pylint: disable=protected-access
+  spans = {name: blob[s + 2 : s + 3] for name, s, _ in bam._iter_tag_spans(blob)}  # pylint: disable=protected-access
+  assert spans['xa'] == b'A' and spans['xc'] == b'H'
+  assert spans['xb'] == b'I' and out.get_tag('xb') == 2**31 + 7
+  assert out.get_tag('xd') == 99
+  assert spans['xe'] == b'I' and out.get_tag('xe') == 2**31 + 1
