@@ -1313,8 +1313,11 @@ def load_model_for_inference(
   """Loads params.json + weights; returns (runner, params).
 
   Accepts: an orbax checkpoint dir produced by this framework (contains
-  params.json beside it), or a reference TF checkpoint prefix (translated
-  via models/checkpoint.load_tf_checkpoint). param_overrides patches
+  params.json beside it), a reference TF checkpoint prefix (translated
+  via models/checkpoint.load_tf_checkpoint), or a reference SavedModel
+  directory (auto-detected by its saved_model.pb, mirroring the
+  reference's dual-format detection at quick_inference.py:797-800 and
+  load at :512-529). param_overrides patches
   non-weight-affecting params (e.g. use_pallas_attention). Passing
   `variables` (e.g. another runner's already device-resident weights)
   skips the checkpoint read AND the ~34 MB host->device re-upload — the
@@ -1339,7 +1342,11 @@ def load_model_for_inference(
     return runner, params
   model = model_lib.get_model(params)
   variables = model_lib.init_params(model, params)
-  if os.path.isdir(checkpoint_path) and (
+  from deepconsensus_tpu.io import tf_bundle
+
+  if tf_bundle.is_saved_model_dir(checkpoint_path):
+    variables = ckpt_lib.load_saved_model(checkpoint_path, variables, params)
+  elif os.path.isdir(checkpoint_path) and (
       os.path.exists(os.path.join(checkpoint_path, '_CHECKPOINT_METADATA'))
       or os.path.exists(os.path.join(checkpoint_path, 'd'))
       or os.path.exists(os.path.join(checkpoint_path, 'manifest.ocdbt'))

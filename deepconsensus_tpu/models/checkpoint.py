@@ -181,15 +181,8 @@ def _set_path(tree: Dict[str, Any], path: Tuple[str, ...], value) -> None:
   node[path[-1]] = value.astype(np.asarray(expected).dtype)
 
 
-def load_tf_checkpoint(tf_checkpoint_path: str, variables, params):
-  """Translates a reference TF checkpoint into this model's variables.
-
-  Requires TensorFlow (test/tooling environments only) and a checkpoint
-  with data shards (the bundled testdata checkpoint ships only the .index).
-  """
-  import tensorflow as tf  # deferred: core package must not require TF
-
-  reader = tf.train.load_checkpoint(tf_checkpoint_path)
+def _load_via_reader(reader, variables, params):
+  """Copies every tf_name_map variable from `reader` into a fresh pytree."""
   name_map = tf_name_map(params)
   flat = jax.tree_util.tree_map(np.asarray, variables)
   tree = jax.device_get(flat)
@@ -210,15 +203,45 @@ def load_tf_checkpoint(tf_checkpoint_path: str, variables, params):
   return tree
 
 
+def load_tf_checkpoint(tf_checkpoint_path: str, variables, params):
+  """Translates a reference TF checkpoint into this model's variables.
+
+  Pure Python (io/tf_bundle TensorBundle reader — no TF import); needs a
+  checkpoint with data shards (the bundled testdata checkpoint ships only
+  the .index).
+  """
+  from deepconsensus_tpu.io import tf_bundle
+
+  reader = tf_bundle.TensorBundleReader(tf_checkpoint_path)
+  return _load_via_reader(reader, variables, params)
+
+
+def load_saved_model(saved_model_dir: str, variables, params):
+  """Translates a reference SavedModel directory into model variables.
+
+  The SavedModel's `variables/variables` TensorBundle stores weights under
+  positional keys; io/tf_bundle.SavedModelCheckpointReader re-keys them via
+  the SavedObjectGraph so the same tf_name_map drives the copy (reference
+  emission: models/convert_to_saved_model.py:67-105; reference ingestion:
+  inference/quick_inference.py:512-529).
+  """
+  from deepconsensus_tpu.io import tf_bundle
+
+  reader = tf_bundle.SavedModelCheckpointReader(saved_model_dir)
+  return _load_via_reader(reader, variables, params)
+
+
 def verify_tf_name_map(tf_checkpoint_path: str, variables, params) -> bool:
   """Structural check: every mapped TF name exists with the right shape.
 
   Works with index-only checkpoints (no data shards), so it can run against
   the bundled testdata model.
   """
-  import tensorflow as tf  # deferred
+  from deepconsensus_tpu.io import tf_bundle
 
-  tf_vars = dict(tf.train.list_variables(tf_checkpoint_path))
+  tf_vars = dict(
+      tf_bundle.TensorBundleReader(tf_checkpoint_path).list_variables()
+  )
   name_map = tf_name_map(params)
   tree = jax.device_get(variables)
   ok = True

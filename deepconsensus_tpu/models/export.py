@@ -25,7 +25,12 @@ def export_model(checkpoint_path: str, output_directory: str) -> str:
   model = model_lib.get_model(params)
   variables = model_lib.init_params(model, params)
 
-  if os.path.isdir(checkpoint_path):
+  from deepconsensus_tpu.io import tf_bundle
+
+  if tf_bundle.is_saved_model_dir(checkpoint_path):
+    variables = ckpt_lib.load_saved_model(checkpoint_path, variables, params)
+    step = 0
+  elif os.path.isdir(checkpoint_path):
     src = ckpt_lib.latest_checkpoint(checkpoint_path) or checkpoint_path
     payload = ckpt_lib.load_checkpoint(
         src, {'variables': jax.device_get(variables)}
