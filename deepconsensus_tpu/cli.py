@@ -192,6 +192,10 @@ def _add_eval_parser(sub):
   p.add_argument('--eval_path', default=None)
   p.add_argument('--limit', type=int, default=-1)
   p.add_argument('--batch_size', type=int, default=None)
+  p.add_argument(
+      '--num_devices', type=int, default=None,
+      help='Devices to shard eval batches over (default: all).',
+  )
   return p
 
 
@@ -417,6 +421,7 @@ def main(argv=None) -> int:
         eval_path=args.eval_path,
         limit=args.limit,
         batch_size=args.batch_size,
+        num_devices=args.num_devices,
     )
     return 0
 

@@ -104,6 +104,25 @@ def test_eval_cli(tmp_path):
   assert np.isfinite(float(metrics['eval/loss']))
 
 
+def test_eval_sharded_matches_single_device(tmp_path):
+  """run_eval on the 8-device virtual mesh must bit-match 1 device (the
+  reference's eval binary sharded like the train loop, VERDICT r4 #8)."""
+  toy = '/root/repo/models_out/toy_model'
+  if not os.path.exists(toy):
+    pytest.skip('toy model not built')
+  from deepconsensus_tpu.train import evaluate
+
+  m1 = evaluate.run_eval(
+      toy, str(tmp_path / 'd1'), limit=32, batch_size=8, num_devices=1
+  )
+  m8 = evaluate.run_eval(
+      toy, str(tmp_path / 'd8'), limit=32, batch_size=8, num_devices=8
+  )
+  assert set(m1) == set(m8)
+  for k in m1:
+    assert m1[k] == m8[k], (k, m1[k], m8[k])
+
+
 def test_distill_smoke(tmp_path):
   toy = '/root/repo/models_out/toy_model'
   if not os.path.exists(toy):
