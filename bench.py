@@ -76,19 +76,30 @@ def make_runner(checkpoint: str, batch_size: int, overrides=None):
 
   from deepconsensus_tpu.inference import engine
 
-  if 'dev_vars' not in _shared:
-    t0 = time.time()
+  if 'runner0' not in _shared:
     runner, params = engine.load_model_for_inference(
         checkpoint, batch_size, param_overrides=overrides
     )
-    jax.block_until_ready(runner.variables)
-    _partial['weights_upload_s'] = round(time.time() - t0, 2)
-    _shared['dev_vars'] = runner.variables
+    # The upload runs on the runner's background thread; streaming starts
+    # immediately and the first dispatch blocks only if it wins the race.
+    _shared['runner0'] = runner
     return runner, params
-  return engine.load_model_for_inference(
+  # Later stages reuse the first runner's device-resident weights
+  # (.variables blocks until the shared upload finished; by stage 2 it
+  # has, so device_put is a no-op).
+  runner, params = engine.load_model_for_inference(
       checkpoint, batch_size, param_overrides=overrides,
-      variables=_shared['dev_vars'],
+      variables=_shared['runner0'].variables,
   )
+  note_upload_time()
+  return runner, params
+
+
+def note_upload_time():
+  """Records the overlapped background-upload wall time once available."""
+  runner = _shared.get('runner0')
+  if runner is not None and runner.weights_upload_seconds is not None:
+    _partial.setdefault('weights_upload_s', runner.weights_upload_seconds)
 
 
 def bench_full_pipeline(checkpoint: str, rounds: int = 10, lookahead: int = 3,
@@ -631,6 +642,7 @@ def main():
   deadline = time.time() + budget
 
   def emit_now(note=None):
+    note_upload_time()
     extra = {
         'windows_per_sec_batch1024': round(
             _partial.get('windows_per_sec', 0.0), 1

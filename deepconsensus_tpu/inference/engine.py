@@ -349,6 +349,60 @@ def _on_tpu() -> bool:
     return False
 
 
+class AsyncWeightUpload:
+  """Background, leaf-chunked host->device weight transfer.
+
+  device_put of a whole 34 MB pytree can block the calling thread in
+  transfer backpressure behind a slow remote-TPU link, serializing the
+  upload in front of round 0 (reference anchor: model init precedes
+  streaming, quick_inference.py:485-532 — but nothing there overlaps it
+  either). Uploading leaf by leaf on a daemon thread lets the host keep
+  ingesting/featurizing, bounds each blocking call to one tensor, and
+  records the wall time for the runtime diagnostics. Consumers block in
+  `get()` only at first dispatch.
+
+  Already-device-resident inputs (bench's shared-runner path) make every
+  device_put a no-op and `get()` returns almost immediately.
+  """
+
+  def __init__(self, variables, sharding=None):
+    import threading
+
+    self._done = threading.Event()
+    self._result = None
+    self._error: Optional[BaseException] = None
+    self.seconds: Optional[float] = None
+    self._thread = threading.Thread(
+        target=self._run, args=(variables, sharding), daemon=True
+    )
+    self._thread.start()
+
+  def _run(self, variables, sharding):
+    t0 = time.time()
+    try:
+      leaves, treedef = jax.tree_util.tree_flatten(variables)
+      out = []
+      for leaf in leaves:
+        out.append(
+            jax.device_put(leaf, sharding)
+            if sharding is not None
+            else jax.device_put(leaf)
+        )
+      jax.block_until_ready(out)
+      self._result = jax.tree_util.tree_unflatten(treedef, out)
+    except BaseException as e:  # re-raised at the consumer
+      self._error = e
+    finally:
+      self.seconds = round(time.time() - t0, 2)
+      self._done.set()
+
+  def get(self):
+    self._done.wait()
+    if self._error is not None:
+      raise RuntimeError('weight upload failed') from self._error
+    return self._result
+
+
 class ModelRunner:
   """Owns the jitted forward pass over fixed-shape batches.
 
@@ -366,8 +420,13 @@ class ModelRunner:
     self.batch_size = batch_size
     self.model = model_lib.get_model(params, dtype=dtype)
     enable_compilation_cache()
-    # Pin weights on device once; every forward reuses them.
-    self.variables = jax.device_put(variables)
+    # Pin weights on device once; every forward reuses them. The upload
+    # runs on a background thread, leaf by leaf, so (a) the constructor
+    # returns immediately and BAM ingest/featurize of the first rounds
+    # overlaps the ~34 MB transfer, and (b) a tunnel stall mid-upload
+    # blocks only that thread, not the host pipeline (BENCH_r04 measured
+    # a serial 291 s upload in a bad phase).
+    self._weights = AsyncWeightUpload(variables)
     self._use_ccs_bq = bool(params.use_ccs_bq)
     # One-hot MXU embedding lookups on TPU (bit-identical to gathers and
     # ~4x faster there; CPU keeps gathers — the one-hot would materialize).
@@ -442,6 +501,16 @@ class ModelRunner:
     # (see predict_round_async).
     self.round_upload = bool(params.get('round_upload', True))
     self._rebuild_jits()
+
+  @property
+  def variables(self):
+    """Device-resident weights; blocks until the async upload completes."""
+    return self._weights.get()
+
+  @property
+  def weights_upload_seconds(self) -> Optional[float]:
+    """Wall time of the background upload (None while in flight)."""
+    return self._weights.seconds
 
   def _rebuild_jits(self) -> None:
     """(Re)creates every jitted wrapper from the closure functions.

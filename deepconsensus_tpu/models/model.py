@@ -72,14 +72,30 @@ class ScaledEmbedding(nn.Module):
   width: int
   dtype: Any = jnp.float32
 
-  @nn.compact
-  def __call__(self, ids: jnp.ndarray, via_matmul: bool = False) -> jnp.ndarray:
-    table = self.param(
+  def setup(self):
+    self.embedding = self.param(
         'embedding',
         nn.initializers.normal(stddev=self.width**-0.5),
         (self.vocab_size, self.width),
         jnp.float32,
     )
+
+  def eff_table(self) -> jnp.ndarray:
+    """The effective lookup table: scaled by sqrt(width), row 0 zeroed.
+
+    (eff_table)[id] is bitwise what __call__ computes for id — the same
+    two multiplies (scale, then 0/1 mask) on the same f32 row values —
+    so gather-based consumers (ops/embed_concat.py) stay exact.
+    """
+    eff = self.embedding.astype(self.dtype) * jnp.asarray(
+        self.width**0.5, self.dtype
+    )
+    return eff * (jnp.arange(self.vocab_size) != 0)[:, None].astype(
+        self.dtype
+    )
+
+  def __call__(self, ids: jnp.ndarray, via_matmul: bool = False) -> jnp.ndarray:
+    table = self.embedding
     if via_matmul:
       # One-hot matmul lookup: TPU gathers are ~11 GB/s on these small
       # non-contiguous rows, while the MXU chews the equivalent one-hot
@@ -88,12 +104,7 @@ class ScaledEmbedding(nn.Module):
       # HBM). Bit-identical to the gather: each output is a sum of exact
       # zeros plus the (pre-scaled, id-0-masked) table row, and HIGHEST
       # precision keeps the f32 products exact.
-      eff = table.astype(self.dtype) * jnp.asarray(
-          self.width**0.5, self.dtype
-      )
-      eff = eff * (jnp.arange(self.vocab_size) != 0)[:, None].astype(
-          self.dtype
-      )
+      eff = self.eff_table()
       oh = jax.nn.one_hot(ids, self.vocab_size, dtype=self.dtype)
       out = jax.lax.dot_general(
           oh.reshape(-1, self.vocab_size),
@@ -460,6 +471,8 @@ class LearnedValuesTransformer(nn.Module):
       sn: jnp.ndarray,
       ccs_bq: Optional[jnp.ndarray] = None,
       embed_matmul: bool = False,
+      embed_kernel: bool = False,
+      embed_interpret: bool = False,
   ) -> jnp.ndarray:
     """Compact features -> encoder input h (condensed + pos-encoded).
 
@@ -470,8 +483,46 @@ class LearnedValuesTransformer(nn.Module):
     outputs = self.compact_outputs(
         bases, pw, ip, strand, ccs, sn, ccs_bq, deterministic=True,
         embed_only=True, embed_matmul=embed_matmul,
+        embed_kernel=embed_kernel, embed_interpret=embed_interpret,
     )
     return outputs['encoder_input']
+
+  def _embed_kernel_concat(
+      self, bases, pw, ip, strand, ccs, sn, ccs_bq, interpret=False
+  ) -> jnp.ndarray:
+    """Fused-kernel embed+concat (ops/embed_concat.py); see compact_outputs."""
+    p = self.params
+    B, P, L = bases.shape
+    if not (p.use_bases and p.use_pw and p.use_ip and p.use_strand
+            and p.use_ccs and p.use_sn):
+      raise ValueError('embed_kernel requires the production feature set')
+    from deepconsensus_tpu.ops import embed_concat as ek
+
+    # Per-window features, pre-embedded in XLA exactly as the plain path
+    # does (tiny tensors; sn's 501-row vocab exceeds the gather tile).
+    e = self.strand_embedding(strand.astype(jnp.int32))  # (B, P, w)
+    e = e.reshape(B, 1, P * p.strand_hidden_size)
+    if P < p.max_passes:
+      e = jnp.pad(
+          e, ((0, 0), (0, 0), (0, (p.max_passes - P) * p.strand_hidden_size))
+      )
+    strand_rows = jnp.broadcast_to(e, (B, L, e.shape[-1]))
+    e = self.sn_embedding(sn.astype(jnp.int32)).reshape(B, 1, -1)
+    sn_rows = jnp.broadcast_to(e, (B, L, e.shape[-1]))
+
+    tables = {
+        'bases': self.bases_embedding.eff_table(),
+        'pw': self.pw_embedding.eff_table(),
+        'ip': self.ip_embedding.eff_table(),
+    }
+    bq_ids = None
+    if p.use_ccs_bq:
+      tables['ccs_bq'] = self.ccs_bq_embedding.eff_table()
+      bq_ids = ccs_bq.astype(jnp.int32) + 1
+    return ek.embed_concat(
+        bases, pw, ip, ccs, strand_rows, sn_rows, tables,
+        ccs_bq=bq_ids, max_passes=p.max_passes, interpret=interpret,
+    )
 
   def compact_outputs(
       self,
@@ -486,6 +537,8 @@ class LearnedValuesTransformer(nn.Module):
       embed_only: bool = False,
       embed_matmul: bool = False,
       pre_condense: bool = False,
+      embed_kernel: bool = False,
+      embed_interpret: bool = False,
   ) -> Dict[str, jnp.ndarray]:
     """Forward from de-duplicated features — same math, less transport.
 
@@ -499,9 +552,22 @@ class LearnedValuesTransformer(nn.Module):
     embed_matmul routes the three big per-position lookups (bases/pw/ip,
     each (B, P, L)) through ScaledEmbedding's one-hot MXU path — ~4x
     faster than TPU gathers with bit-identical values.
+
+    embed_kernel routes the entire embed+concat through the fused Mosaic
+    dynamic-gather kernel (ops/embed_concat.py): one pass over the ids,
+    one write of the concatenated tensor, no N=8 one-hot matmuls or f32
+    transposes — bit-identical to both other paths (each output value is
+    the same exact table row).
     """
     p = self.params
     B, P, L = bases.shape
+    if embed_kernel:
+      h = self._embed_kernel_concat(
+          bases, pw, ip, strand, ccs, sn, ccs_bq, interpret=embed_interpret
+      )
+      if pre_condense:
+        return {'encoder_input': h}
+      return self._encode(h, deterministic, embed_only=embed_only)
     embedded = []
 
     def per_subread_layout(e, width):

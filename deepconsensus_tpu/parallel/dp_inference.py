@@ -44,9 +44,11 @@ class ShardedModelRunner:
     self.batch_size = batch_size
     self.model = model_lib.get_model(params, dtype=dtype)
     repl = mesh_lib.replicated(self.mesh)
-    self.variables = jax.device_put(variables, repl)
     shard = mesh_lib.batch_sharding(self.mesh)
     from deepconsensus_tpu.inference import engine as engine_lib
+
+    # Background leaf-chunked replicated upload (see engine.AsyncWeightUpload).
+    self._weights = engine_lib.AsyncWeightUpload(variables, sharding=repl)
     # One-hot MXU embedding lookups on TPU (bit-identical; see engine).
     embed_matmul = engine_lib._on_tpu()
     # Device-side quality quantization (enable_device_q; see
@@ -149,6 +151,15 @@ class ShardedModelRunner:
     self.wire_transport = bool(params.get('wire_transport', True))
     self._mesh_axis = axis
     self._forward_compact_fn = forward
+
+  @property
+  def variables(self):
+    """Replicated device weights; blocks until the async upload completes."""
+    return self._weights.get()
+
+  @property
+  def weights_upload_seconds(self):
+    return self._weights.seconds
 
   def enable_device_q(self, options) -> bool:
     """Device-quantized uint8 qualities (see engine.enable_device_q).
