@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS = 256
 
 
+def k0_kernel(idx_ref, lut_ref, o_ref):
+  # Harness baseline: same traffic (idx in, f32 out), no gather.
+  o_ref[:] = idx_ref[:].astype(jnp.float32) + lut_ref[0, 0]
+
+
 def g1_kernel(idx_ref, lut_ref, o_ref):
   lut = jnp.broadcast_to(lut_ref[0:1, :], (ROWS, 128))
   o_ref[:] = jnp.take_along_axis(
@@ -78,21 +83,34 @@ def run(name, kernel, inputs, out_shape, iters=200):
   )
 
   def chained(args, iters):
-    def body(_, c):
-      a0 = (args[0] + c * 0).astype(args[0].dtype)
-      out = f(a0, *args[1:])
-      return jnp.max(out).astype(jnp.int32) * 0
+    # Genuine serial dependency: iteration k's output perturbs iteration
+    # k+1's indices (this libtpu build folds carry*0.0, so the usual
+    # fake-dependency idiom collapses the chain). The extra elementwise
+    # add/and is small next to the gathers being measured.
+    def body(_, ids):
+      out = f(ids, *args[1:])
+      w = ids.shape[1]
+      return (ids + out[:, :w].astype(jnp.int32)) & (
+          127 if w == 128 else 255
+      )
 
-    return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.int32))
+    final = jax.lax.fori_loop(0, iters, body, args[0])
+    # Return a scalar so the timed fetch (which is what actually waits for
+    # remote compute — block_until_ready returns early on tunnel buffers)
+    # costs one value of D2H.
+    return jnp.sum(final[0, :8])
 
   cf = jax.jit(functools.partial(chained, iters=iters))
-  r = cf(inputs)
-  jax.block_until_ready(r)
+  t0 = time.time()
+  float(cf(inputs))  # compile + warm
+  print(f'  {name}: compile+warm {time.time() - t0:.2f}s')
   best = None
   for _ in range(3):
     t0 = time.time()
-    jax.block_until_ready(cf(inputs))
-    dt = (time.time() - t0) / iters
+    float(cf(inputs))
+    call_s = time.time() - t0
+    print(f'  {name}: call {call_s:.4f}s for {iters} iters')
+    dt = call_s / iters
     best = dt if best is None else min(best, dt)
   els = out_shape[0] * out_shape[1]
   print(name, round(best * 1e6, 1), 'us;',
@@ -107,6 +125,7 @@ def main():
   out = {}
   idx = jnp.asarray(rng.integers(0, 128, (M, 128)), jnp.int32)
   lut1 = jnp.asarray(rng.normal(size=(1, 128)), jnp.float32)
+  out['k0'] = run('k0', k0_kernel, (idx, lut1), (M, 128))
   out['g1'] = run('g1', g1_kernel, (idx, lut1), (M, 128))
 
   ids = jnp.asarray(rng.integers(0, 256, (M, 16)), jnp.int32)
