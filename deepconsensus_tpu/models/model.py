@@ -102,17 +102,38 @@ class ScaledEmbedding(nn.Module):
       # contraction ~4x faster (XLA fuses the iota-compare one-hot into
       # the matmul operand tiles, so the (N, vocab) one-hot never hits
       # HBM). Bit-identical to the gather: each output is a sum of exact
-      # zeros plus the (pre-scaled, id-0-masked) table row, and HIGHEST
-      # precision keeps the f32 products exact.
+      # zeros plus one table row, computed over an EXACT bf16 triple
+      # split of the f32 table — truncation slices the 24-bit mantissa
+      # into three non-overlapping 8-bit bf16 parts, each one-hot product
+      # is exact (1.0 × part), and (hi + mid) + lo reconstructs the f32
+      # row bitwise. Three 1-pass bf16 MXU dots instead of the 6 passes
+      # Precision.HIGHEST spends on an f32×f32 contraction.
       eff = self.eff_table()
-      oh = jax.nn.one_hot(ids, self.vocab_size, dtype=self.dtype)
-      out = jax.lax.dot_general(
-          oh.reshape(-1, self.vocab_size),
-          eff,
-          dimension_numbers=(((1,), (0,)), ((), ())),
-          precision=jax.lax.Precision.HIGHEST,
+
+      def trunc_bf16(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
+        ).astype(jnp.bfloat16)
+
+      hi = trunc_bf16(eff)
+      r1 = eff - hi.astype(jnp.float32)
+      mid = trunc_bf16(r1)
+      lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+      oh = jax.nn.one_hot(
+          ids.reshape(-1), self.vocab_size, dtype=jnp.bfloat16
       )
-      return out.reshape(ids.shape + (self.width,))
+
+      def part(t):
+        return jax.lax.dot_general(
+            oh,
+            t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+      out = (part(hi) + part(mid)) + part(lo)
+      return out.reshape(ids.shape + (self.width,)).astype(self.dtype)
     # mode='clip' matches TF-on-TPU gather clamping for out-of-range ids
     # (and avoids jnp.take's default NaN fill on malformed inputs).
     out = jnp.take(table.astype(self.dtype), ids, axis=0, mode='clip')
@@ -570,18 +591,18 @@ class LearnedValuesTransformer(nn.Module):
       return self._encode(h, deterministic, embed_only=embed_only)
     embedded = []
 
-    def per_subread_layout(e, width):
-      # (B, P, L, width) -> (B, L, P*width): row-major over subread rows,
-      # matching the dense layout's concat order; zero-pad to max_passes.
-      e = jnp.transpose(e, (0, 2, 1, 3)).reshape(B, L, P * width)
+    def per_subread(layer, x, width):
+      # Transpose the small INT ids (B, P, L) -> (B, L, P) before the
+      # lookup so the embedded (B, L, P, width) block lands in the
+      # (B, L, P*width) concat layout with a free reshape — the same
+      # per-element values as embedding first and transposing the ~30x
+      # larger f32 tensor after. Zero-pad to max_passes (pass-bucketed
+      # transport): absent rows embed to exact zeros either way.
+      xt = jnp.transpose(x.astype(jnp.int32), (0, 2, 1))
+      e = layer(xt, via_matmul=embed_matmul).reshape(B, L, P * width)
       if P < p.max_passes:
         e = jnp.pad(e, ((0, 0), (0, 0), (0, (p.max_passes - P) * width)))
       return e
-
-    def per_subread(layer, x, width):
-      return per_subread_layout(
-          layer(x.astype(jnp.int32), via_matmul=embed_matmul), width
-      )
 
     if p.use_bases:
       embedded.append(

@@ -69,33 +69,32 @@ def main():
   # --- exactness at small batch ---
   t0 = time.time()
   args = make_args(rng, params, 256, params.max_passes)
-  plain = jax.jit(
+  gather = jax.jit(
+      lambda v, a: model.apply(
+          v, **a, pre_condense=True, method='compact_outputs',
+      )['encoder_input']
+  )(variables, args)
+  matmul = jax.jit(
       lambda v, a: model.apply(
           v, **a, pre_condense=True, embed_matmul=True,
           method='compact_outputs',
       )['encoder_input']
   )(variables, args)
-  fused = jax.jit(
-      lambda v, a: model.apply(
-          v, **a, pre_condense=True, embed_kernel=True,
-          method='compact_outputs',
-      )['encoder_input']
-  )(variables, args)
-  plain, fused = jax.device_get((plain, fused))
-  exact = bool((plain == fused).all())
-  out['concat_bitwise_equal'] = exact
-  out['concat_max_abs_diff'] = float(np.max(np.abs(plain - fused)))
-  print('concat exact:', exact, 'dt', round(time.time() - t0, 1))
+  gather, matmul = jax.device_get((gather, matmul))
+  out['matmul_vs_gather_bitwise'] = bool((gather == matmul).all())
+  out['matmul_vs_gather_maxdiff'] = float(np.max(np.abs(gather - matmul)))
+  print('matmul vs gather exact:', out['matmul_vs_gather_bitwise'],
+        'dt', round(time.time() - t0, 1))
 
-  logits_plain = jax.jit(
+  logits_g = jax.jit(
+      lambda v, a: model.apply(v, **a,
+                               method='compact_outputs')['logits']
+  )(variables, args)
+  logits_m = jax.jit(
       lambda v, a: model.apply(v, **a, embed_matmul=True,
                                method='compact_outputs')['logits']
   )(variables, args)
-  logits_fused = jax.jit(
-      lambda v, a: model.apply(v, **a, embed_kernel=True,
-                               method='compact_outputs')['logits']
-  )(variables, args)
-  lp, lf = jax.device_get((logits_plain, logits_fused))
+  lp, lf = jax.device_get((logits_g, logits_m))
   out['logits_bitwise_equal'] = bool((lp == lf).all())
   print('logits exact:', out['logits_bitwise_equal'])
 
@@ -107,12 +106,11 @@ def main():
 
   def time_variant(name, make_fn):
     fn = chained(make_fn, iters)
-    r = fn(big)
-    jax.block_until_ready(r)  # compile+warm
+    float(fn(big))  # compile+warm (the fetch waits on remote compute)
     best = None
     for _ in range(3):
       t0 = time.time()
-      jax.block_until_ready(fn(big))
+      float(fn(big))
       dt = (time.time() - t0) / iters
       best = dt if best is None else min(best, dt)
     out[name + '_ms'] = round(best * 1000, 3)
@@ -124,35 +122,18 @@ def main():
         variables, **a, pre_condense=True, embed_matmul=True,
         method='compact_outputs')['encoder_input']
 
-  def embed_kernel_fn(a):
-    return model.apply(
-        variables, **a, pre_condense=True, embed_kernel=True,
-        method='compact_outputs')['encoder_input']
-
   def stage_embed_condense_matmul(a):
     return model.apply(
         variables, **a, embed_only=True, embed_matmul=True,
-        method='compact_outputs')['encoder_input']
-
-  def stage_embed_condense_kernel(a):
-    return model.apply(
-        variables, **a, embed_only=True, embed_kernel=True,
         method='compact_outputs')['encoder_input']
 
   def full_matmul(a):
     return model.apply(variables, **a, embed_matmul=True,
                        method='compact_outputs')['logits']
 
-  def full_kernel(a):
-    return model.apply(variables, **a, embed_kernel=True,
-                       method='compact_outputs')['logits']
-
   time_variant('embed_concat_matmul', embed_matmul_fn)
-  time_variant('embed_concat_kernel', embed_kernel_fn)
   time_variant('embed_condense_matmul', stage_embed_condense_matmul)
-  time_variant('embed_condense_kernel', stage_embed_condense_kernel)
   time_variant('full_forward_matmul', full_matmul)
-  time_variant('full_forward_kernel', full_kernel)
 
   path = os.path.join(_REPO, 'docs', 'embed_kernel_tpu.json')
   with open(path, 'w') as f:
