@@ -85,7 +85,8 @@ class ScaledEmbedding(nn.Module):
 
     (eff_table)[id] is bitwise what __call__ computes for id — the same
     two multiplies (scale, then 0/1 mask) on the same f32 row values —
-    so gather-based consumers (ops/embed_concat.py) stay exact.
+    so lookup-reformulating consumers (the one-hot matmul below) stay
+    exact.
     """
     eff = self.embedding.astype(self.dtype) * jnp.asarray(
         self.width**0.5, self.dtype
@@ -102,38 +103,23 @@ class ScaledEmbedding(nn.Module):
       # contraction ~4x faster (XLA fuses the iota-compare one-hot into
       # the matmul operand tiles, so the (N, vocab) one-hot never hits
       # HBM). Bit-identical to the gather: each output is a sum of exact
-      # zeros plus one table row, computed over an EXACT bf16 triple
-      # split of the f32 table — truncation slices the 24-bit mantissa
-      # into three non-overlapping 8-bit bf16 parts, each one-hot product
-      # is exact (1.0 × part), and (hi + mid) + lo reconstructs the f32
-      # row bitwise. Three 1-pass bf16 MXU dots instead of the 6 passes
-      # Precision.HIGHEST spends on an f32×f32 contraction.
+      # zeros plus the (pre-scaled, id-0-masked) table row, and HIGHEST
+      # precision keeps the f32 products exact.
+      #
+      # Round-5 A/B (docs/embed_ab_tpu.json): a manual exact bf16x3
+      # table split (3 one-pass dots) and an int-side layout transpose
+      # both REGRESS this path ~2-3x — XLA's fusion of the one-hot into
+      # the single HIGHEST contraction plus its f32-side transpose
+      # placement beat the hand-restructured variants. Keep this form.
       eff = self.eff_table()
-
-      def trunc_bf16(x):
-        bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-        return jax.lax.bitcast_convert_type(
-            bits & jnp.uint32(0xFFFF0000), jnp.float32
-        ).astype(jnp.bfloat16)
-
-      hi = trunc_bf16(eff)
-      r1 = eff - hi.astype(jnp.float32)
-      mid = trunc_bf16(r1)
-      lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-      oh = jax.nn.one_hot(
-          ids.reshape(-1), self.vocab_size, dtype=jnp.bfloat16
+      oh = jax.nn.one_hot(ids, self.vocab_size, dtype=self.dtype)
+      out = jax.lax.dot_general(
+          oh.reshape(-1, self.vocab_size),
+          eff,
+          dimension_numbers=(((1,), (0,)), ((), ())),
+          precision=jax.lax.Precision.HIGHEST,
       )
-
-      def part(t):
-        return jax.lax.dot_general(
-            oh,
-            t,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-      out = (part(hi) + part(mid)) + part(lo)
-      return out.reshape(ids.shape + (self.width,)).astype(self.dtype)
+      return out.reshape(ids.shape + (self.width,))
     # mode='clip' matches TF-on-TPU gather clamping for out-of-range ids
     # (and avoids jnp.take's default NaN fill on malformed inputs).
     out = jnp.take(table.astype(self.dtype), ids, axis=0, mode='clip')
@@ -492,8 +478,6 @@ class LearnedValuesTransformer(nn.Module):
       sn: jnp.ndarray,
       ccs_bq: Optional[jnp.ndarray] = None,
       embed_matmul: bool = False,
-      embed_kernel: bool = False,
-      embed_interpret: bool = False,
   ) -> jnp.ndarray:
     """Compact features -> encoder input h (condensed + pos-encoded).
 
@@ -504,46 +488,8 @@ class LearnedValuesTransformer(nn.Module):
     outputs = self.compact_outputs(
         bases, pw, ip, strand, ccs, sn, ccs_bq, deterministic=True,
         embed_only=True, embed_matmul=embed_matmul,
-        embed_kernel=embed_kernel, embed_interpret=embed_interpret,
     )
     return outputs['encoder_input']
-
-  def _embed_kernel_concat(
-      self, bases, pw, ip, strand, ccs, sn, ccs_bq, interpret=False
-  ) -> jnp.ndarray:
-    """Fused-kernel embed+concat (ops/embed_concat.py); see compact_outputs."""
-    p = self.params
-    B, P, L = bases.shape
-    if not (p.use_bases and p.use_pw and p.use_ip and p.use_strand
-            and p.use_ccs and p.use_sn):
-      raise ValueError('embed_kernel requires the production feature set')
-    from deepconsensus_tpu.ops import embed_concat as ek
-
-    # Per-window features, pre-embedded in XLA exactly as the plain path
-    # does (tiny tensors; sn's 501-row vocab exceeds the gather tile).
-    e = self.strand_embedding(strand.astype(jnp.int32))  # (B, P, w)
-    e = e.reshape(B, 1, P * p.strand_hidden_size)
-    if P < p.max_passes:
-      e = jnp.pad(
-          e, ((0, 0), (0, 0), (0, (p.max_passes - P) * p.strand_hidden_size))
-      )
-    strand_rows = jnp.broadcast_to(e, (B, L, e.shape[-1]))
-    e = self.sn_embedding(sn.astype(jnp.int32)).reshape(B, 1, -1)
-    sn_rows = jnp.broadcast_to(e, (B, L, e.shape[-1]))
-
-    tables = {
-        'bases': self.bases_embedding.eff_table(),
-        'pw': self.pw_embedding.eff_table(),
-        'ip': self.ip_embedding.eff_table(),
-    }
-    bq_ids = None
-    if p.use_ccs_bq:
-      tables['ccs_bq'] = self.ccs_bq_embedding.eff_table()
-      bq_ids = ccs_bq.astype(jnp.int32) + 1
-    return ek.embed_concat(
-        bases, pw, ip, ccs, strand_rows, sn_rows, tables,
-        ccs_bq=bq_ids, max_passes=p.max_passes, interpret=interpret,
-    )
 
   def compact_outputs(
       self,
@@ -558,8 +504,6 @@ class LearnedValuesTransformer(nn.Module):
       embed_only: bool = False,
       embed_matmul: bool = False,
       pre_condense: bool = False,
-      embed_kernel: bool = False,
-      embed_interpret: bool = False,
   ) -> Dict[str, jnp.ndarray]:
     """Forward from de-duplicated features — same math, less transport.
 
@@ -572,34 +516,25 @@ class LearnedValuesTransformer(nn.Module):
 
     embed_matmul routes the three big per-position lookups (bases/pw/ip,
     each (B, P, L)) through ScaledEmbedding's one-hot MXU path — ~4x
-    faster than TPU gathers with bit-identical values.
-
-    embed_kernel routes the entire embed+concat through the fused Mosaic
-    dynamic-gather kernel (ops/embed_concat.py): one pass over the ids,
-    one write of the concatenated tensor, no N=8 one-hot matmuls or f32
-    transposes — bit-identical to both other paths (each output value is
-    the same exact table row).
+    faster than TPU gathers with bit-identical values. (A fully fused
+    Mosaic dynamic-gather embed+concat kernel was prototyped and
+    measured in round 5 — interpret-exact, but unprofitable on-chip:
+    Mosaic's lane-gather needs an 8-width × 2-half composition that
+    costs more than this already-fused XLA path; evidence in
+    docs/gather_ubench.json and docs/embed_ab_tpu.json.)
     """
     p = self.params
     B, P, L = bases.shape
-    if embed_kernel:
-      h = self._embed_kernel_concat(
-          bases, pw, ip, strand, ccs, sn, ccs_bq, interpret=embed_interpret
-      )
-      if pre_condense:
-        return {'encoder_input': h}
-      return self._encode(h, deterministic, embed_only=embed_only)
     embedded = []
 
     def per_subread(layer, x, width):
-      # Transpose the small INT ids (B, P, L) -> (B, L, P) before the
-      # lookup so the embedded (B, L, P, width) block lands in the
-      # (B, L, P*width) concat layout with a free reshape — the same
-      # per-element values as embedding first and transposing the ~30x
-      # larger f32 tensor after. Zero-pad to max_passes (pass-bucketed
-      # transport): absent rows embed to exact zeros either way.
-      xt = jnp.transpose(x.astype(jnp.int32), (0, 2, 1))
-      e = layer(xt, via_matmul=embed_matmul).reshape(B, L, P * width)
+      # (B, P, L, width) -> (B, L, P*width): row-major over subread rows,
+      # matching the dense layout's concat order; zero-pad to max_passes.
+      # (Transposing the int ids BEFORE the lookup instead measured 2x
+      # slower on-chip — docs/embed_ab_tpu.json — XLA places this f32
+      # transpose better than the hand-moved int one.)
+      e = layer(x.astype(jnp.int32), via_matmul=embed_matmul)
+      e = jnp.transpose(e, (0, 2, 1, 3)).reshape(B, L, P * width)
       if P < p.max_passes:
         e = jnp.pad(e, ((0, 0), (0, 0), (0, (p.max_passes - P) * width)))
       return e

@@ -111,25 +111,25 @@ def _fused_layer_kernel(
   )
   y2 = x2 + a_attn_ref[0, 0] * attn  # ReZero residual
 
-  # ---- FFN in filter-dimension chunks ----
-  filter_size = wf1_ref.shape[1]
-  acc = jnp.zeros_like(y2)
-  n_chunks = pl.cdiv(filter_size, FFN_CHUNK)
-  for c in range(n_chunks):
-    lo = c * FFN_CHUNK
-    hi = min(filter_size, lo + FFN_CHUNK)
-    h1 = jax.lax.dot_general(
-        y2, wf1_ref[:, lo:hi],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bf1_ref[0, lo:hi][None, :]
-    h1 = jnp.maximum(h1, 0.0)
-    acc = acc + jax.lax.dot_general(
-        h1, wf2_ref[lo:hi, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-  ffn = acc + bf2_ref[0, :][None, :]
+  # ---- FFN ----
+  # Unchunked on purpose: a filter-dim-chunked second matmul accumulates
+  # K=2048 as partial sums of 512 — a different f32 association than
+  # XLA's sequential K-tile accumulation, which alone breaks bitwise
+  # parity with the XLA encoder (docs/fused_exactness.json shows Mosaic
+  # and XLA dots DO match bitwise at default precision when the
+  # contraction isn't re-associated). The full (BB*L, filter) activation
+  # is ~3.3 MB at BLOCK_B=4 — comfortably VMEM-resident.
+  h1 = jax.lax.dot_general(
+      y2, wf1_ref[:],
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  ) + bf1_ref[0, :][None, :]
+  h1 = jnp.maximum(h1, 0.0)
+  ffn = jax.lax.dot_general(
+      h1, wf2_ref[:],
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  ) + bf2_ref[0, :][None, :]
   out2 = y2 + a_ffn_ref[0, 0] * ffn
   o_ref[:] = out2.reshape(BB, L, E).astype(x.dtype)
 
