@@ -109,27 +109,20 @@ def build_train_step(model, tx, params, global_batch_size: int):
   """Returns a jitted (state, rows, labels) -> (state, metrics) step."""
   loss_fn = make_loss_fn(params)
   ccs_slice = configs.get_indices(params.max_passes, params.use_ccs_bq)[4]
-  use_fused = bool(params.get('use_pallas_fused_encoder', False))
-  if use_fused and params.model_name != 'transformer_learn_values':
+  if params.get('use_pallas_fused_encoder', False):
+    # Training always uses the XLA encoder: the hand-written Pallas
+    # backward measured slower than XLA autodiff (3301 vs 3484 ex/s,
+    # docs/train_tpu_bench.json) and was deleted in round 5 along with
+    # the fused forward's parity ambitions (ops/fused_encoder.py
+    # docstring records the evidence). The fused forward remains an
+    # inference-only option.
     raise ValueError(
-        'use_pallas_fused_encoder requires the transformer_learn_values '
-        f'model, got {params.model_name!r}'
+        'use_pallas_fused_encoder is inference-only; training uses the '
+        'XLA encoder (its autodiff backward is faster than the deleted '
+        'hand-written Pallas backward)'
     )
-  fused_interpret = bool(params.get('fused_encoder_interpret', False))
 
   def forward(variables, rows):
-    if use_fused:
-      # Embeddings via the flax module, then the trainable fused Pallas
-      # encoder stack (Pallas forward AND backward; ops/fused_encoder.py)
-      # + functional LayerNorm/logits tail — differentiable end to end.
-      from deepconsensus_tpu.ops import fused_encoder as fe
-
-      h = model.apply(variables, rows, method='rows_embed')
-      logits = fe.fused_logits(
-          variables['params'], h, params.num_hidden_layers,
-          params.attn_win_size, trainable=True, interpret=fused_interpret,
-      )
-      return jax.nn.softmax(logits, axis=-1)
     return model.apply(variables, rows, deterministic=True)
 
   def compute_loss(variables, rows, labels):

@@ -84,89 +84,6 @@ def test_fused_full_attention(small_stack):
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_trainable_fused_layer_gradients(small_stack):
-  """custom_vjp gradients match XLA autodiff for every argument."""
-  _, _, lps = small_stack
-  lp = lps[0]
-  x = jnp.asarray(
-      np.random.default_rng(3).standard_normal((4, 20, 64)).astype(np.float32)
-  )
-  args = (
-      x, lp['wq'], lp['wk'], lp['wv'], lp['wo'], lp['alpha_attn'],
-      lp['wf1'], lp['bf1'], lp['wf2'], lp['bf2'], lp['alpha_ffn'],
-  )
-
-  def loss_fused(*a):
-    return jnp.sum(fe.fused_encoder_layer_trainable(*a, 12) ** 2)
-
-  def loss_xla(*a):
-    return jnp.sum(fe._xla_layer(*a, win=12) ** 2)
-
-  g1 = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
-  g2 = jax.grad(loss_xla, argnums=tuple(range(11)))(*args)
-  for a, b in zip(g1, g2):
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
-
-
-@pytest.mark.parametrize('win', [12, None])
-def test_pallas_backward_kernels_match_autodiff(small_stack, win):
-  """The TRUE Pallas backward (interpret mode) matches XLA autodiff.
-
-  Exercises _ffn_bwd_kernel + _attn_bwd_kernel through the custom_vjp
-  (fwd saves y2, bwd rematerializes in-kernel and accumulates weight
-  grads across grid steps: batch 8 / block_b 2 = 4 accumulating steps).
-  """
-  _, _, lps = small_stack
-  lp = lps[0]
-  x = jnp.asarray(
-      np.random.default_rng(4).standard_normal((8, 20, 64)).astype(np.float32)
-  )
-  args = (
-      x, lp['wq'], lp['wk'], lp['wv'], lp['wo'], lp['alpha_attn'],
-      lp['wf1'], lp['bf1'], lp['wf2'], lp['bf2'], lp['alpha_ffn'],
-  )
-
-  def loss_fused(*a):
-    return jnp.sum(fe.fused_encoder_layer_trainable(*a, win, True) ** 2)
-
-  def loss_xla(*a):
-    return jnp.sum(fe._xla_layer(*a, win=win) ** 2)
-
-  g1 = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
-  g2 = jax.grad(loss_xla, argnums=tuple(range(11)))(*args)
-  names = ('x', 'wq', 'wk', 'wv', 'wo', 'a1', 'wf1', 'bf1', 'wf2', 'bf2',
-           'a2')
-  for name, a, b in zip(names, g1, g2):
-    np.testing.assert_allclose(
-        np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4,
-        err_msg=f'grad mismatch for {name}',
-    )
-
-
-def test_pallas_backward_odd_block(small_stack):
-  """Batch not divisible by 2 falls to block_b=1 and still matches."""
-  _, _, lps = small_stack
-  lp = lps[0]
-  x = jnp.asarray(
-      np.random.default_rng(5).standard_normal((3, 20, 64)).astype(np.float32)
-  )
-  args = (
-      x, lp['wq'], lp['wk'], lp['wv'], lp['wo'], lp['alpha_attn'],
-      lp['wf1'], lp['bf1'], lp['wf2'], lp['bf2'], lp['alpha_ffn'],
-  )
-
-  def loss_fused(*a):
-    return jnp.sum(fe.fused_encoder_layer_trainable(*a, 12, True))
-
-  def loss_xla(*a):
-    return jnp.sum(fe._xla_layer(*a, win=12))
-
-  g1 = jax.grad(loss_fused, argnums=(0, 6, 9))(*args)
-  g2 = jax.grad(loss_xla, argnums=(0, 6, 9))(*args)
-  for a, b in zip(g1, g2):
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
-
-
 def test_interpret_mode_handles_indivisible_batches():
   """B not divisible by block_b must not drop grid rows (was: silent NaNs
   for the remainder examples in interpret mode, which has no XLA

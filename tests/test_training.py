@@ -183,52 +183,17 @@ def test_dp_loss_matches_single_device(tmp_path):
   np.testing.assert_allclose(results[1], results[8], rtol=1e-4)
 
 
-def _one_train_step(params, fused, interpret, rows, labels):
-  import jax.numpy as jnp
-
-  with params.unlocked():
-    params.use_pallas_fused_encoder = fused
-    params.fused_encoder_interpret = interpret
-  model = model_lib.get_model(params)
-  variables = model_lib.init_params(model, params, jax.random.PRNGKey(7))
-  tx, _ = loop.make_optimizer(params, decay_steps=10)
-  opt_state = tx.init(variables['params'])
-  train_step, _ = loop.build_train_step(model, tx, params, rows.shape[0])
-  new_vars, _, metrics = train_step(
-      variables, opt_state, jnp.asarray(rows), jnp.asarray(labels)
-  )
-  return jax.device_get(metrics), jax.device_get(new_vars)
-
-
-def test_fused_train_step_matches_plain():
-  """One train step through the fused Pallas encoder (fwd+bwd kernels in
-  interpret mode) matches the plain flax path: same loss, near-identical
-  updated weights — proving the training wiring AND kernel gradients."""
+def test_fused_train_is_rejected():
+  """The fused encoder is inference-only since round 5: the hand-written
+  Pallas backward was deleted (slower than XLA autodiff,
+  docs/train_tpu_bench.json) and training always uses the XLA encoder."""
   params = _small_params(batch_size=4, limit=4)
-  configs.finalize_params(params)
-  stream = input_pipeline.example_stream(
-      params.train_path, params, batch_size=4, shuffle_buffer=0, repeat=False
-  )
-  rows, labels = next(stream)
-
-  m_plain, v_plain = _one_train_step(params, False, False, rows, labels)
-  m_fused, v_fused = _one_train_step(params, True, True, rows, labels)
-  np.testing.assert_allclose(m_fused['loss'], m_plain['loss'], rtol=1e-5)
-  flat_p = jax.tree_util.tree_leaves(v_plain['params'])
-  flat_f = jax.tree_util.tree_leaves(v_fused['params'])
-  for a, b in zip(flat_p, flat_f):
-    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
-
-
-def test_fused_train_rejects_wrong_model():
-  params = configs.get_config('transformer+test')
   with params.unlocked():
-    params.batch_size = 4
     params.use_pallas_fused_encoder = True
   configs.finalize_params(params)
   model = model_lib.get_model(params)
   tx, _ = loop.make_optimizer(params, decay_steps=10)
-  with pytest.raises(ValueError, match='transformer_learn_values'):
+  with pytest.raises(ValueError, match='inference-only'):
     loop.build_train_step(model, tx, params, 4)
 
 

@@ -10,7 +10,7 @@ under the tunnel; CPU when forced). Reference anchor: ~4.1 h per
 Writes/updates docs/train_tpu_bench.json and prints one JSON line.
 
 Usage:
-  timeout 560 python tools/train_bench.py             # unfused + fused
+  timeout 560 python tools/train_bench.py
   DC_TRAIN_BENCH_BATCH=1024 DC_TRAIN_BENCH_BUDGET_S=240 ...
 """
 
@@ -173,7 +173,9 @@ def main():
   budget = float(os.environ.get('DC_TRAIN_BENCH_BUDGET_S', '150'))
   total_budget = float(os.environ.get('DC_TRAIN_BENCH_TOTAL_S', '520'))
 
-  variants = os.environ.get('DC_TRAIN_BENCH_VARIANTS', 'unfused,fused')
+  # 'fused' variants removed in round 5: the Pallas training backward
+  # was deleted (slower than XLA autodiff; ops/fused_encoder.py).
+  variants = os.environ.get('DC_TRAIN_BENCH_VARIANTS', 'unfused')
   variants = [v.strip() for v in variants.split(',') if v.strip()]
 
   def body():
@@ -182,12 +184,8 @@ def main():
     _RESULTS['device_kind'] = jax.devices()[0].device_kind
     if 'unfused' in variants:
       _RESULTS['unfused'] = bench_variant(False, batch, budget)
-    if 'fused' in variants:
-      _RESULTS['fused'] = bench_variant(True, batch, budget)
     if 'chained' in variants:
       _RESULTS['chained_unfused'] = bench_chained(False, batch, budget)
-    if 'chained_fused' in variants:
-      _RESULTS['chained_fused'] = bench_chained(True, batch, budget)
 
   worker = threading.Thread(target=body, daemon=True)
   worker.start()
