@@ -146,11 +146,6 @@ def _add_train_parser(sub):
   p.add_argument('--eval_and_log_every_step', action='store_true')
   p.add_argument('--limit', type=int, default=None)
   p.add_argument(
-      '--use_fused_encoder', action='store_true',
-      help='Train through the fused Pallas encoder (Pallas fwd+bwd '
-           'kernels; transformer_learn_values only).',
-  )
-  p.add_argument(
       '--input_workers', type=int, default=None,
       help='Input-pipeline worker processes (0 = in-process serial).',
   )
@@ -380,8 +375,6 @@ def main(argv=None) -> int:
         params.max_passes = args.max_passes
       if args.limit is not None:
         params.limit = args.limit
-      if args.use_fused_encoder:
-        params.use_pallas_fused_encoder = True
       if args.input_workers is not None:
         params.input_workers = args.input_workers
     loop.train_with_retry(

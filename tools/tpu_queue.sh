@@ -20,10 +20,10 @@ case "${1:-probe}" in
     timeout 560 python bench.py
     ;;
   train-bench)
-    # The fused variant's Pallas fwd+bwd compile alone can take minutes
-    # over the tunnel; 560s total was observed to cut it off mid-compile.
-    DC_TRAIN_BENCH_TOTAL_S="${DC_TRAIN_BENCH_TOTAL_S:-850}" \
-      timeout 900 python tools/train_bench.py
+    # XLA-encoder training only (the Pallas training backward was deleted
+    # in round 5 — slower than autodiff; ops/fused_encoder.py).
+    DC_TRAIN_BENCH_TOTAL_S="${DC_TRAIN_BENCH_TOTAL_S:-600}" \
+      timeout 650 python tools/train_bench.py
     ;;
   train)
     timeout 1800 python - <<'EOF'
