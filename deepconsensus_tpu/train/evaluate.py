@@ -30,10 +30,11 @@ def run_eval(
 ) -> Dict[str, float]:
   """Evaluates a checkpoint on the eval dataset, writes inference.csv.
 
-  Shards each eval batch over the full device mesh (batch axis split,
+  Shards each eval batch over the device mesh (batch axis split,
   replicated weights, psum'd metrics inside eval_step) exactly like the
   training loop's eval passes, so checkpoint evaluation scales with chip
-  count; num_devices=None uses every visible device. Metrics are
+  count; num_devices=None uses the most devices that divide batch_size
+  (batch semantics are never changed to fit the mesh). Metrics are
   bit-identical across mesh sizes (metric sums are exact integer-valued
   f32 counts; tested on the 8-device virtual mesh).
   """
@@ -45,17 +46,23 @@ def run_eval(
     if batch_size:
       params.batch_size = batch_size
 
+  if num_devices is None:
+    # Default to the LARGEST device count that divides the requested
+    # batch — never silently change batch_size: with drop_remainder
+    # batching, inflating the batch would drop tail examples and change
+    # which examples the metrics cover (e.g. the documented batch-1
+    # full-split eval must stay exactly that on an 8-device host).
+    n = len(jax.devices())
+    while params.batch_size % n:
+      n -= 1
+    num_devices = n
   mesh = mesh_lib.make_mesh(num_devices)
   n_dev = mesh.devices.size
-  with params.unlocked():
-    if params.batch_size % n_dev:
-      # Round up to a shardable global batch (drop_remainder keeps every
-      # dispatched batch full, so divisibility is the only requirement).
-      params.batch_size += n_dev - params.batch_size % n_dev
-      logger.info(
-          'Rounded batch_size up to %d for %d devices',
-          params.batch_size, n_dev,
-      )
+  if params.batch_size % n_dev:
+    raise ValueError(
+        f'batch_size {params.batch_size} is not divisible by the '
+        f'requested {n_dev} devices'
+    )
 
   model = model_lib.get_model(params)
   variables = model_lib.init_params(model, params)

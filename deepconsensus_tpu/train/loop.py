@@ -115,11 +115,11 @@ def build_train_step(model, tx, params, global_batch_size: int):
     # docs/train_tpu_bench.json) and was deleted in round 5 along with
     # the fused forward's parity ambitions (ops/fused_encoder.py
     # docstring records the evidence). The fused forward remains an
-    # inference-only option.
-    raise ValueError(
-        'use_pallas_fused_encoder is inference-only; training uses the '
-        'XLA encoder (its autodiff backward is faster than the deleted '
-        'hand-written Pallas backward)'
+    # inference-only option. Ignore (don't reject) the flag so params.json
+    # files persisted by round-4 training runs still evaluate/resume.
+    logger.warning(
+        'use_pallas_fused_encoder is inference-only since round 5; '
+        'training/eval use the XLA encoder (same math, faster backward)'
     )
 
   def forward(variables, rows):

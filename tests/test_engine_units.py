@@ -179,36 +179,33 @@ def test_async_weight_upload_roundtrip_and_error():
 
 def test_threaded_iter_producer_exits_after_consumer_detach():
   """A consumer that stops early must release the producer thread even
-  when the queue is full at the terminal put (advisor r4)."""
+  when the queue is full at the terminal put (advisor r4): the producer
+  thread itself must EXIT, not remain blocked in q.put."""
   import threading
   import time as time_lib
 
   from deepconsensus_tpu.inference import engine
 
-  started = threading.Event()
-  finished = threading.Event()
+  before = set(threading.enumerate())
 
-  def gen():
-    started.set()
-    for i in range(100):
-      yield i
-    finished.set()
+  def run_cycle(n_items):
+    it = engine.threaded_iter(iter(range(n_items)), maxsize=2)
+    assert next(it) == 0
+    it.close()  # detach; queue is full (maxsize 2) at this point
 
-  it = engine.threaded_iter(gen(), maxsize=2)
-  assert next(it) == 0
-  it.close()  # detach with a full queue
-  # The producer must observe the stop event and exit promptly.
-  deadline = time_lib.time() + 5.0
+  # Exercise both terminal cases: mid-stream detach (producer parked in
+  # the item put) and end-of-stream detach (producer parked in the done
+  # sentinel put — the exact residual case the advisor flagged).
+  run_cycle(1000)
+  run_cycle(3)
+
+  deadline = time_lib.time() + 10.0
   while time_lib.time() < deadline:
-    if finished.is_set() or threading.active_count() >= 0:
+    leaked = [
+        t for t in threading.enumerate()
+        if t not in before and t.is_alive()
+    ]
+    if not leaked:
       break
-    time_lib.sleep(0.05)
-  # Either the generator finished naturally (unlikely with maxsize=2) or
-  # the producer gave up; both mean no thread is stuck in q.put. Verify by
-  # ensuring no non-daemon engine threads accumulate across many cycles.
-  for _ in range(20):
-    it2 = engine.threaded_iter(iter(range(1000)), maxsize=2)
-    next(it2)
-    it2.close()
-  time_lib.sleep(0.5)
-  assert started.is_set()
+    time_lib.sleep(0.1)
+  assert not leaked, f'producer threads still alive: {leaked}'

@@ -183,18 +183,23 @@ def test_dp_loss_matches_single_device(tmp_path):
   np.testing.assert_allclose(results[1], results[8], rtol=1e-4)
 
 
-def test_fused_train_is_rejected():
-  """The fused encoder is inference-only since round 5: the hand-written
-  Pallas backward was deleted (slower than XLA autodiff,
-  docs/train_tpu_bench.json) and training always uses the XLA encoder."""
+def test_fused_flag_ignored_in_training(caplog):
+  """The fused encoder is inference-only since round 5 (the Pallas
+  backward was deleted — slower than XLA autodiff), but params.json files
+  persisted by earlier training runs may still carry the flag: training
+  and eval must WARN and proceed on the XLA encoder, not reject."""
+  import logging
+
   params = _small_params(batch_size=4, limit=4)
   with params.unlocked():
     params.use_pallas_fused_encoder = True
   configs.finalize_params(params)
   model = model_lib.get_model(params)
   tx, _ = loop.make_optimizer(params, decay_steps=10)
-  with pytest.raises(ValueError, match='inference-only'):
-    loop.build_train_step(model, tx, params, 4)
+  with caplog.at_level(logging.WARNING):
+    train_step, eval_step = loop.build_train_step(model, tx, params, 4)
+  assert train_step is not None and eval_step is not None
+  assert any('inference-only' in r.message for r in caplog.records)
 
 
 @pytest.mark.parametrize('model_name', ['fc', 'transformer'])

@@ -1,11 +1,15 @@
-"""Same-process A/B of the embedding implementations on the TPU.
+"""ARCHIVAL: same-process A/B of the round-5 embedding experiments.
 
-Times the full compact forward and the embed+condense stage for all four
-combinations of {bf16x3, legacy-HIGHEST} one-hot matmul x {int-side,
-f32-side} layout transpose (DC_EMBED_IMPL / DC_EMBED_TRANSPOSE knobs,
-read at trace time), interleaved A/B/A/B so tunnel-phase drift cancels.
-Chained fori_loop timing, result fetched (the fetch is what waits on
-remote compute). Writes docs/embed_ab_tpu.json.
+This tool produced docs/embed_ab_tpu.json (2026-08-20): the established
+one-hot HIGHEST matmul + f32-side transpose beat both experimental
+variants (exact bf16x3 table split; int-side ids transpose) by 2-3x, so
+the experiments were REMOVED from the model along with the
+DC_EMBED_IMPL / DC_EMBED_TRANSPOSE knobs this tool toggles (commit
+30a7967). Re-running it today would time the same surviving
+implementation four times and record tunnel noise as deltas — it
+therefore refuses to run. The methodology (interleaved A/B/A/B chained
+fori_loop rounds, scalar fetch to wait on remote compute) remains the
+template for future same-process comparisons.
 """
 
 import json
@@ -29,6 +33,12 @@ B = int(os.environ.get('DC_EK_BATCH', '2048'))
 
 
 def main():
+  raise SystemExit(
+      'embed_ab_tpu.py is archival: the DC_EMBED_IMPL/DC_EMBED_TRANSPOSE '
+      'variants it compares were removed after the recorded A/B '
+      '(docs/embed_ab_tpu.json) — all four combos would now trace the '
+      'same graph. See the module docstring.'
+  )
   print(jax.devices())
   params = configs.get_config('transformer_learn_values+test')
   configs.finalize_params(params)

@@ -1,13 +1,18 @@
-"""On-chip validation + timing of the fused embed+concat kernel.
+"""On-chip validation + timing of the embedding path.
 
 Runs on the real TPU (single process; run under `timeout`):
-  1. compiles ops/embed_concat.py via Mosaic,
-  2. asserts bitwise equality vs the embed_matmul path at batch 256,
-  3. times embed-stage and full-forward variants at batch 2048 with the
+  1. asserts bitwise equality of the one-hot-matmul embedding path vs
+     the gather path at batch 256 (concat tensor AND final logits),
+  2. times embed-stage and full-forward variants at batch 2048 with the
      chained-fori_loop method (CLAUDE.md: per-dispatch timing understates
      device throughput ~2x through the tunnel).
 
-Writes docs/embed_kernel_tpu.json.
+Writes docs/embed_kernel_tpu.json. History: this began as the validation
+harness for a Mosaic dynamic-gather embed+concat kernel; that kernel was
+removed after the round-5 measurements (Mosaic rejects axis-0 gathers
+over >1-vreg tables, and the lane-gather composition was unprofitable —
+docs/gather_ubench.json), so the recorded file's `embed_concat_matmul_*`
+keys time the surviving XLA path, not a Pallas kernel.
 """
 
 import json
