@@ -118,3 +118,34 @@ def test_saved_model_run_byte_identical_to_checkpoint_run(
   from_ckpt = _run_cli(TOY, str(tmp_path / 'ckpt.fastq'))
   from_sm = _run_cli(saved_model_dir, str(tmp_path / 'sm.fastq'))
   assert from_sm == from_ckpt
+
+
+def test_bundle_reader_rejects_corrupt_index(tmp_path, saved_model_dir):
+  """Truncated/garbage index files fail with a clean IOError, not a
+  silent mis-parse."""
+  import shutil
+
+  src = os.path.join(saved_model_dir, 'variables')
+  dst = tmp_path / 'variables'
+  shutil.copytree(src, dst)
+  idx = dst / 'variables.index'
+  data = idx.read_bytes()
+
+  idx.write_bytes(data[: len(data) // 2])  # drop the footer
+  with pytest.raises(IOError):
+    tf_bundle.TensorBundleReader(str(dst / 'variables'))
+
+  idx.write_bytes(b'\x00' * 64)  # bad magic
+  with pytest.raises(IOError, match='magic'):
+    tf_bundle.TensorBundleReader(str(dst / 'variables'))
+
+  with pytest.raises(FileNotFoundError):
+    tf_bundle.TensorBundleReader(str(tmp_path / 'nope' / 'variables'))
+
+
+def test_saved_model_reader_rejects_non_savedmodel(tmp_path):
+  assert not tf_bundle.is_saved_model_dir(str(tmp_path))
+  (tmp_path / 'saved_model.pb').write_bytes(b'\x08\x01')  # no MetaGraphDef
+  assert tf_bundle.is_saved_model_dir(str(tmp_path))
+  with pytest.raises(IOError, match='MetaGraphDef'):
+    tf_bundle.SavedModelVariableIndex(str(tmp_path))
