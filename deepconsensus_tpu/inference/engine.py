@@ -548,7 +548,12 @@ class ModelRunner:
     return _enable_device_q(self, options)
 
   def _wire_fn(self, layout):
-    """Per-layout compiled forward over a fused wire buffer (cached)."""
+    """Per-layout compiled forward over a fused wire buffer (cached).
+
+    Mirrored (with a shard_map wrapper) by
+    parallel.dp_inference.ShardedModelRunner._dispatch_ragged — keep
+    behavioral fixes in sync.
+    """
     fn = self._wire_jits.get(layout)
     if fn is None:
       L = int(self.params.max_length)
@@ -1516,13 +1521,18 @@ def run_inference(
   dc_config = windows.DcConfig(
       params.max_passes, params.max_length, params.use_ccs_bq
   )
+  # The sharded runner rounds its batch up to a device multiple; batches
+  # must be BUILT at that size too, or RaggedBatchBuilder produces a
+  # batch whose window count doesn't split across the mesh
+  # (data._split_segments indexes shards[n] for the tail windows).
+  effective_batch = getattr(runner, 'batch_size', batch_size)
   options = InferenceOptions(
       max_length=params.max_length,
       example_height=dc_config.tensor_height,
       max_passes=params.max_passes,
       min_quality=min_quality,
       min_length=min_length,
-      batch_size=batch_size,
+      batch_size=effective_batch,
       use_ccs_bq=params.use_ccs_bq,
       cpus=cpus,
       skip_windows_above=skip_windows_above,

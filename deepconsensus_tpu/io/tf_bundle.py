@@ -198,9 +198,15 @@ def _block_entries(block: bytes) -> Iterator[Tuple[bytes, bytes]]:
 
 
 class _SSTable:
-  """Reads every (key, value) of a LevelDB-format table file."""
+  """Reads every (key, value) of a LevelDB-format table file.
+
+  Corruption anywhere — bad footer, out-of-range BlockHandles, truncated
+  varints or restart arrays — surfaces as IOError with the file path
+  (the low-level parsers raise IndexError/struct.error, converted here).
+  """
 
   def __init__(self, path: str):
+    self._path = path
     with open(path, 'rb') as f:
       self._raw = f.read()
     if len(self._raw) < 48:
@@ -209,11 +215,28 @@ class _SSTable:
     (magic,) = struct.unpack('<Q', footer[40:48])
     if magic != _TABLE_MAGIC:
       raise IOError(f'{path}: bad table magic {magic:#x}')
-    _, _, i = _block_handle(footer)  # metaindex (unused)
-    index_off, index_size, _ = _block_handle(footer, i)
-    self._index = self._load_block(index_off, index_size)
+    with self._reraise('footer block handles'):
+      _, _, i = _block_handle(footer)  # metaindex (unused)
+      index_off, index_size, _ = _block_handle(footer, i)
+      self._index = self._load_block(index_off, index_size)
+
+  def _reraise(self, what: str):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+      try:
+        yield
+      except (IndexError, struct.error, ValueError) as e:
+        raise IOError(f'{self._path}: corrupt table ({what}): {e}') from e
+
+    return ctx()
 
   def _load_block(self, offset: int, size: int) -> bytes:
+    if offset + size >= len(self._raw):
+      raise IOError(
+          f'{self._path}: block handle ({offset}, {size}) past EOF'
+      )
     block = self._raw[offset : offset + size]
     compression = self._raw[offset + size]  # 1-byte trailer before crc32c
     if compression == 0:
@@ -223,9 +246,13 @@ class _SSTable:
     raise IOError(f'unknown block compression type {compression}')
 
   def items(self) -> Iterator[Tuple[bytes, bytes]]:
-    for _, handle in _block_entries(self._index):
-      off, size, _ = _block_handle(handle)
-      yield from _block_entries(self._load_block(off, size))
+    with self._reraise('index block'):
+      index_entries = list(_block_entries(self._index))
+    for _, handle in index_entries:
+      with self._reraise('data block'):
+        off, size, _ = _block_handle(handle)
+        entries = list(_block_entries(self._load_block(off, size)))
+      yield from entries
 
 
 # ---------------------------------------------------------------------------
@@ -279,12 +306,19 @@ class TensorBundleReader:
 
   def _shard(self, shard_id: int):
     if shard_id not in self._shard_cache:
+      import mmap
+
       path = (
           f'{self._prefix}.data-{shard_id:05d}-of-{self._num_shards:05d}'
       )
-      # mmap-like lazy view: memoryview over one read keeps slicing cheap.
-      with open(path, 'rb') as f:
-        self._shard_cache[shard_id] = memoryview(f.read())
+      # mmap so fetching one tensor touches only its pages (this VM's
+      # fresh-page faults are slow, so avoid reading the whole shard for
+      # a single get_tensor).
+      f = open(path, 'rb')
+      self._shard_cache[shard_id] = memoryview(
+          mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+      )
+      f.close()
     return self._shard_cache[shard_id]
 
   # -- reader API ----------------------------------------------------------

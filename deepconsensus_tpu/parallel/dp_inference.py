@@ -7,11 +7,11 @@ models/model_inference.py:94-96). The TPU-native equivalents, both here:
 * **chip-level**: one host drives an N-chip mesh; each fixed-shape window
   batch is sharded on axis 0 (`jax.sharding`), weights replicated, XLA
   splits the forward with zero collectives (the model is per-window).
-* **host-level**: each host consumes a disjoint ZMW range of the shard
-  (round-robin by ZMW index) and writes a partial FASTQ;
-  `merge_fastq_partials` concatenates them in shard order, which is
-  deterministic because ZMW ranges are disjoint and each partial preserves
-  input order.
+* **host-level**: each host consumes a disjoint ZMW SUBSET of the shard
+  (round-robin by ZMW index — an interleave, not a contiguous range) and
+  writes a partial FASTQ; `merge_fastq_partials` concatenates them in
+  host order — deterministic for a fixed host count, same read multiset
+  as a single-host run (the order regroups by host).
 """
 
 import os
@@ -186,6 +186,11 @@ class ShardedModelRunner:
     buf = np.stack([b for b, _ in packed])
     fn = self._wire_jits.get(layout)
     if fn is None:
+      # Sharded sibling of engine.ModelRunner._wire_fn (same per-layout
+      # cache contract: rebuild_jits resets self._wire_jits so no
+      # executable traced with a stale forward survives enable_device_q).
+      # A behavioral fix to either must be mirrored in the other; only
+      # the shard_map wrapper + stacked buffer axis differ here.
       L = int(self.params.max_length)
       mp = int(self.params.max_passes)
       fwd = self._forward_compact_fn
@@ -229,7 +234,16 @@ class ShardedModelRunner:
     n = rows.shape[0]
     padded = data.pad_batch(rows, self.batch_size, multiple=self.mesh.devices.size)
     compact = data.compact_from_rows(padded, self.params, pass_limit)
-    return self._forward(self.variables, compact), n
+    out = self._forward(self.variables, compact)
+    # Start the D2H transfer immediately so it overlaps later batches'
+    # compute (mirrors ModelRunner.predict_async; the remote link makes
+    # the copy a large fraction of round latency).
+    for arr in out:
+      try:
+        arr.copy_to_host_async()
+      except (AttributeError, RuntimeError):
+        break
+    return out, n
 
   def collect(self, handle_n):
     (ids, maxp), n = handle_n
@@ -250,17 +264,28 @@ def host_shard_filter(host_id: int, num_hosts: int):
 
 
 def merge_fastq_partials(partials: Sequence[str], output: str) -> int:
-  """Deterministically merges per-host FASTQ partials (shard-id order).
+  """Deterministically merges per-host FASTQ partials (host-id order).
 
-  ZMW assignments are disjoint across hosts and each partial preserves its
-  own input order, so a stable concatenation in host order yields the same
-  output for any host count.
+  ZMW assignments are disjoint across hosts (round-robin by ZMW index,
+  engine `zmw_index % num_hosts == host_id`) and each partial preserves
+  its own input order, so for a FIXED host count the merged bytes are
+  deterministic. Note the read ORDER differs from a single-host run
+  (host-0 reads, then host-1 reads — an interleave regrouped by host),
+  while the read multiset is identical
+  (tests/test_dp_inference.py pins both properties).
+
+  A missing partial is an error: silently skipping it would drop that
+  host's entire ZMW share from the merged output.
   """
+  for path in partials:
+    if not os.path.exists(path):
+      raise FileNotFoundError(
+          f'partial FASTQ {path!r} does not exist — refusing to merge an '
+          'incomplete set (that host\'s reads would be silently lost)'
+      )
   n = 0
   with open(output, 'w') as out:
     for path in partials:
-      if not os.path.exists(path):
-        continue
       with open(path) as f:
         for line in f:
           out.write(line)

@@ -128,3 +128,26 @@ def test_lookahead_depth_does_not_change_output(tmp_path):
   _, d1 = _run(tmp_path, 'la1', ['--lookahead', '1'])
   _, d4 = _run(tmp_path, 'la4', ['--lookahead', '4'])
   assert d1 == d4 and d1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 6, reason='needs 6 virtual devices')
+def test_sharded_indivisible_batch_size(tmp_path):
+  """--num_devices that doesn't divide --batch_size must round the batch
+  up end-to-end (review r5: the engine used to BUILD batches at the raw
+  size while the runner rounded its own copy, so a full batch crashed
+  data._split_segments with IndexError) and still be byte-identical."""
+  _, single = _run(tmp_path, 'single6', [])
+  _, sharded = _run(tmp_path, 'sharded6', ['--num_devices', '6'])
+  assert single == sharded
+
+
+def test_merge_fastq_partials_missing_input_is_an_error(tmp_path):
+  """A missing partial must raise, not silently drop that host's reads
+  (review r5)."""
+  p0 = tmp_path / 'p0.fastq'
+  p0.write_text('@r1\nACGT\n+\nIIII\n')
+  with pytest.raises(FileNotFoundError):
+    dp_inference.merge_fastq_partials(
+        [str(p0), str(tmp_path / 'missing.fastq')],
+        str(tmp_path / 'merged.fastq'),
+    )
