@@ -390,10 +390,13 @@ class AsyncWeightUpload:
         )
       jax.block_until_ready(out)
       self._result = jax.tree_util.tree_unflatten(treedef, out)
+      # Only a COMPLETED upload records a wall time; a failed transfer's
+      # elapsed time must not masquerade as an upload measurement in the
+      # bench diagnostics (weights_upload_s).
+      self.seconds = round(time.time() - t0, 2)
     except BaseException as e:  # re-raised at the consumer
       self._error = e
     finally:
-      self.seconds = round(time.time() - t0, 2)
       self._done.set()
 
   def get(self):
@@ -1051,7 +1054,15 @@ def triage_windows(
 
 
 class OutputWriter:
-  """FASTQ or unmapped-BAM output sink (quick_inference.py:877-897,738-760)."""
+  """FASTQ or unmapped-BAM output sink (quick_inference.py:877-897,738-760).
+
+  The output file opens LAZILY at the first write (or at close, so a
+  zero-read run still leaves the empty file the reference would): name
+  validation stays eager, but a run that dies during setup — e.g. a
+  background weight upload failing on a wedged tunnel before any round
+  completes — must not have already truncated a pre-existing file at the
+  output path.
+  """
 
   def __init__(self, output_fname: str, ccs_bam_path: str):
     self.is_bam = output_fname.endswith('.bam')
@@ -1064,14 +1075,22 @@ class OutputWriter:
     out_dir = os.path.dirname(output_fname)
     if out_dir and not os.path.exists(out_dir):
       os.makedirs(out_dir, exist_ok=True)
+    self._output_fname = output_fname
+    self._ccs_bam_path = ccs_bam_path
+    self._writer = None
+
+  def _ensure_open(self):
+    if self._writer is not None:
+      return
     if self.is_bam:
-      with bam.BamReader(ccs_bam_path) as reader:
+      with bam.BamReader(self._ccs_bam_path) as reader:
         header = reader.header
-      self._writer = bam.BamWriter(output_fname, header)
+      self._writer = bam.BamWriter(self._output_fname, header)
     else:
-      self._writer = fastq.FastqWriter(output_fname)
+      self._writer = fastq.FastqWriter(self._output_fname)
 
   def write(self, fastq_string: str, first_pred: stitch.DCModelOutput) -> None:
+    self._ensure_open()
     if not self.is_bam:
       self._writer.write_str(fastq_string)
       return
@@ -1098,7 +1117,15 @@ class OutputWriter:
     )
     self._writer.write_blob(blob)
 
-  def close(self):
+  def close(self, materialize: bool = True):
+    """Closes the sink. materialize=True creates the (empty) file even if
+    nothing was written — the reference leaves an empty output for a
+    clean zero-read run; pass False on a FAILED run so a pre-existing
+    file at the output path survives untouched."""
+    if self._writer is None:
+      if not materialize:
+        return
+      self._ensure_open()
     self._writer.close()
 
 
@@ -1583,9 +1610,11 @@ def run_inference(
   in_flight: List[Any] = []  # Futures[_RoundState], oldest first
 
   # The transport-native block path: featurize straight into the uint8
-  # ragged transport (no f32 tiles). Applies to single-runner ragged
-  # transport with fixed-width windows; smart windows, sharded runners,
-  # and debug stages keep the feature-dict path.
+  # ragged transport (no f32 tiles). Applies to every ragged-transport
+  # runner — ModelRunner AND ShardedModelRunner (both set
+  # transport='ragged'; the sharded one is why batches must be built at
+  # the runner's device-rounded batch size above); smart windows and
+  # debug stages keep the feature-dict path.
   use_blocks = (
       end_after_stage == 'full'
       and runner is not None
@@ -1632,6 +1661,7 @@ def run_inference(
   # surfacing mid-run (a stitch error, a device failure) would leak the
   # process pool and dispatcher thread and never close output_writer —
   # losing buffered output and, for .bam, the BGZF EOF marker.
+  run_ok = False
   try:
     ingest = threaded_iter(proc_feeder())
     for reads, zmw, cfg, split, window_widths in ingest:
@@ -1660,11 +1690,14 @@ def run_inference(
       process_round(stored, str(batch_count))
     while in_flight:
       finish_oldest()
+    run_ok = True
   finally:
     dispatcher.shutdown()
     if pool:
       pool.shutdown(wait=True)
-    output_writer.close()
+    # On failure, don't materialize a never-opened output: a run that
+    # died during setup must leave a pre-existing file at --output alone.
+    output_writer.close(materialize=run_ok)
 
   elapsed = time.time() - before_all
   logger.info('Processed %s ZMWs in %0.3f seconds', zmw_counter, elapsed)

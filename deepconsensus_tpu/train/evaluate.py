@@ -30,13 +30,15 @@ def run_eval(
 ) -> Dict[str, float]:
   """Evaluates a checkpoint on the eval dataset, writes inference.csv.
 
-  Shards each eval batch over the device mesh (batch axis split,
-  replicated weights, psum'd metrics inside eval_step) exactly like the
+  Shards each eval batch over THIS PROCESS's device mesh (batch axis
+  split, replicated weights, psum'd metrics inside eval_step) like the
   training loop's eval passes, so checkpoint evaluation scales with chip
   count; num_devices=None uses the most devices that divide batch_size
-  (batch semantics are never changed to fit the mesh). Metrics are
-  bit-identical across mesh sizes (metric sums are exact integer-valued
-  f32 counts; tested on the 8-device virtual mesh).
+  (batch semantics are never changed to fit the mesh). Single-process
+  only — multi-host jobs evaluate via the training loop, whose input
+  stream is host-sharded. Metrics are bit-identical across mesh sizes
+  (metric sums are exact integer-valued f32 counts; tested on the
+  8-device virtual mesh).
   """
   params = configs.read_params_from_json(checkpoint_path)
   configs.finalize_params(params)
@@ -46,6 +48,21 @@ def run_eval(
     if batch_size:
       params.batch_size = batch_size
 
+  if jax.process_count() > 1:
+    # The eval stream below is NOT host-sharded (unlike loop.py's
+    # multihost_stream), so under jax.distributed every process would
+    # feed the same rows into shard_batch's local-slice contract and
+    # each example would be counted process_count times.
+    raise NotImplementedError(
+        'run_eval is single-process; multi-host jobs evaluate through '
+        'the training loop\'s sharded eval passes'
+    )
+  if num_devices is not None and num_devices > len(jax.devices()):
+    # make_mesh would silently truncate to the available devices.
+    raise ValueError(
+        f'requested {num_devices} devices, only {len(jax.devices())} '
+        'available'
+    )
   if num_devices is None:
     # Default to the LARGEST device count that divides the requested
     # batch — never silently change batch_size: with drop_remainder

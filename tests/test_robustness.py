@@ -231,3 +231,44 @@ def test_dirty_reencode_preserves_unmodified_tag_bytes(tmp_path):
   assert spans['xb'] == b'I' and out.get_tag('xb') == 2**31 + 7
   assert out.get_tag('xd') == 99
   assert spans['xe'] == b'I' and out.get_tag('xe') == 2**31 + 1
+
+
+def test_failed_run_preserves_existing_output(tmp_path):
+  """A run that dies during setup must not truncate a pre-existing file
+  at --output (review r5: the background weight upload defers some
+  errors past writer construction, so the sink opens lazily)."""
+  from deepconsensus_tpu.inference import engine
+  from deepconsensus_tpu.postprocess import stitch
+
+  out = tmp_path / 'precious.fastq'
+  out.write_text('@keep\nACGT\n+\nIIII\n')
+  td = '/root/reference/deepconsensus/testdata/human_1m'
+  w = engine.OutputWriter(str(out), f'{td}/ccs.bam')
+  # Failure path: close without materializing — file untouched.
+  w.close(materialize=False)
+  assert out.read_text() == '@keep\nACGT\n+\nIIII\n'
+
+  # Success path with zero reads: the (empty) file IS created.
+  w2 = engine.OutputWriter(str(out), f'{td}/ccs.bam')
+  w2.close()
+  assert out.read_text() == ''
+
+  # Writes still work through the lazy open.
+  w3 = engine.OutputWriter(str(out), f'{td}/ccs.bam')
+  pred = stitch.DCModelOutput(
+      molecule_name='m/1/ccs', window_pos=0, sequence='ACGT',
+      quality_string='IIII',
+  )
+  w3.write('@m/1/ccs\nACGT\n+\nIIII\n', pred)
+  w3.close()
+  assert out.read_text().startswith('@m/1/ccs')
+
+
+def test_run_eval_rejects_oversubscribed_devices(tmp_path):
+  from deepconsensus_tpu.train import evaluate
+
+  with pytest.raises(ValueError, match='available'):
+    evaluate.run_eval(
+        '/root/repo/models_out/toy_model', str(tmp_path), limit=8,
+        batch_size=4, num_devices=512,
+    )
