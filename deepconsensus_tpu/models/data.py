@@ -50,7 +50,9 @@ def format_rows(subreads: np.ndarray, params) -> np.ndarray:
 
 def remove_internal_gaps_and_shift(label: np.ndarray) -> np.ndarray:
   """Left-shifts non-gap label tokens (data_providers.py:116-125)."""
-  label = np.squeeze(label)
+  # reshape(-1), not squeeze: squeeze collapses a length-1 label to 0-d
+  # and the slice assignment below would raise IndexError.
+  label = np.asarray(label).reshape(-1)
   keep = label[label != constants.GAP_INT]
   out = np.zeros_like(label)
   out[: len(keep)] = keep
@@ -391,11 +393,6 @@ def unpack_base12(packed: np.ndarray, length: int) -> np.ndarray:
     out[..., i + 4] = g // 625
   out = out.reshape(packed.shape[:-1] + (-1,))
   return out[..., :length].astype(np.uint8)
-
-
-def row_index_dtype(cap: int):
-  """Smallest index dtype addressing a flat array of `cap` rows."""
-  return np.uint16 if cap <= np.iinfo(np.uint16).max else np.int32
 
 
 def row_index_from_passes(p: np.ndarray, max_passes: int) -> np.ndarray:

@@ -19,7 +19,6 @@ the reference's per-row TensorArray loops (losses_and_metrics.py:210-260).
 All shapes are static; both functions jit and vmap cleanly.
 """
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -175,6 +174,11 @@ def _alignment_forward(subs_costs, ins_costs, del_cost, seq_lens, loss_reg):
   """Wavefront DP over antidiagonals k = 2..m+n via lax.scan.
 
   (losses_and_metrics.py:346-411)
+
+  Caveat shared with the reference recursion: an example whose
+  k_end = seq_lens + n < 2 (all-gap label AND n <= 1) never matches a
+  scanned antidiagonal, so its loss stays at the INF init. Unreachable
+  at production window widths (n = max_length >= 2).
   """
   b, m, n = subs_costs.shape
   ws = _wavefrontify(subs_costs)  # [m+n-1, m, b]
@@ -565,6 +569,3 @@ def xentropy_loss(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
   return -jnp.mean(jnp.sum(y_true_oh * logp, axis=-1), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=('del_cost', 'loss_reg', 'width'))
-def alignment_loss_jit(y_true, y_pred, del_cost=10.0, loss_reg=0.1, width=None):
-  return alignment_loss(y_true, y_pred, del_cost, loss_reg, width)
