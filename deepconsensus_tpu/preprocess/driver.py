@@ -105,29 +105,50 @@ def run_preprocess(
       bam_reader_threads=bam_reader_threads,
   )
 
+  def bounded_pool_results(pool, inputs, window):
+    """Ordered pool.map with a BOUNDED in-flight window.
+
+    Executor.map consumes its input iterable eagerly (every ZMW's
+    expanded reads would be pickled into pending work items before the
+    first result returns — unbounded memory on production BAMs and no
+    output until the whole input is read, the reference throttles via
+    starmap_async+clear_tasks, preprocess.py:226-240). A deque of at
+    most `window` futures keeps ingest, workers, and the writer
+    streaming while preserving input order (cpus=0 == cpus=N byte
+    equality depends on it).
+    """
+    import collections as _collections
+
+    dq: '_collections.deque' = _collections.deque()
+    for item in inputs:
+      dq.append(pool.submit(process_subreads, item))
+      if len(dq) >= window:
+        yield dq.popleft().result()
+    while dq:
+      yield dq.popleft().result()
+
   writers = setup_writers(output, splits)
   try:
     if cpus == 0:
-      for args in proc_feeder():
-        examples, split, counter = process_subreads(args)
+      results = (process_subreads(args) for args in proc_feeder())
+      pool = None
+    else:
+      pool = concurrent.futures.ProcessPoolExecutor(max_workers=cpus)
+      results = bounded_pool_results(pool, proc_feeder(), window=cpus * 8)
+    try:
+      for examples, split, counter in results:
         for ex in examples:
           writers[split].write(ex)
         main_counter.update(counter)
         if main_counter['n_zmw_pass'] % 20 == 0:
           logger.info('Processed %s ZMWs.', main_counter['n_zmw_pass'])
-    else:
-      with concurrent.futures.ProcessPoolExecutor(max_workers=cpus) as pool:
-        for examples, split, counter in pool.map(
-            process_subreads, proc_feeder(), chunksize=4
-        ):
-          for ex in examples:
-            writers[split].write(ex)
-          main_counter.update(counter)
-          if main_counter['n_zmw_pass'] % 20 == 0:
-            logger.info('Processed %s ZMWs.', main_counter['n_zmw_pass'])
+    finally:
+      if pool is not None:
+        pool.shutdown(wait=True, cancel_futures=True)
   finally:
     # Close EVERY split writer even when one close() raises (a threaded
-    # writer re-raises its worker's error): abandoning the rest would
+    # writer re-raises its worker's error) or the user interrupts
+    # (BaseException incl. KeyboardInterrupt): abandoning the rest would
     # leave their gzip streams unflushed/unterminated.
     import sys as _sys
 
@@ -135,11 +156,16 @@ def run_preprocess(
     for w in writers.values():
       try:
         w.close()
-      except Exception as e:  # noqa: BLE001 — re-raised after the loop
-        close_err = close_err or e
+      except BaseException as e:  # noqa: BLE001 — re-raised/logged below
+        if close_err is None:
+          close_err = e
+        else:
+          logger.error('additional writer close failure: %r', e)
     # Don't mask an exception already propagating out of the try body.
-    if close_err is not None and _sys.exc_info()[0] is None:
-      raise close_err
+    if close_err is not None:
+      if _sys.exc_info()[0] is None:
+        raise close_err
+      logger.error('writer close failed during unwind: %r', close_err)
 
   logger.info('Completed processing %s ZMWs.', main_counter['n_zmw_pass'])
   summary_name = 'training' if is_training else 'inference'

@@ -6,7 +6,6 @@ framework's own BAM reader.
 """
 
 import collections
-import dataclasses
 import logging
 from typing import Any, Dict, Iterator, List, Optional, Union
 
@@ -85,6 +84,8 @@ def read_truth_bedfile(truth_bed: str) -> Dict[str, Dict[str, Any]]:
   bed_coords = {}
   with open(truth_bed) as bedfile:
     for line in bedfile:
+      if not line.strip():
+        continue  # tolerate trailing/blank lines
       contig, begin, end, ccs_seqname = line.strip().split('\t')[:4]
       bed_coords[ccs_seqname] = {
           'contig': contig,
@@ -119,20 +120,12 @@ def read_truth_split(split_fname: str) -> Dict[str, str]:
   contig_split = {}
   with open(split_fname) as f:
     for line in f:
+      if not line.strip():
+        continue  # tolerate trailing/blank lines
       contig, chrom = line.split()
       if chrom in split_regions:
         contig_split[contig] = split_regions[chrom]
   return contig_split
-
-
-@dataclasses.dataclass
-class ZmwInput:
-  """One ZMW's expanded reads, ready for spacing/windowing."""
-
-  reads: List[reads_lib.AlignedRead]
-  ccs_seqname: str
-  split: str
-  window_widths: Optional[np.ndarray]
 
 
 def _load_truth_index(truth_to_ccs: str) -> Dict[str, List[bam.BamRecord]]:
@@ -202,9 +195,14 @@ def create_proc_feeder(
   # any divergence, pre_lib.py:1320-1326). Owning the BAM layer lets us
   # do better: records scanned past during a lookup are parked here so a
   # later ZMW can still find them, and a genuinely absent record skips
-  # just that ZMW (counted) instead of killing the whole shard.
+  # just that ZMW (counted) instead of killing the whole shard. The park
+  # is capped, and overflowing the cap RAISES: silently evicting would
+  # discard records an in-order stream needs next, so one missing record
+  # in a large shard would silently drop every downstream ZMW. Raising
+  # matches the reference's fail-loud behavior for large divergence
+  # while keeping the skip-one-ZMW upgrade for bounded divergence.
   ccs_parked: 'collections.OrderedDict[str, object]' = collections.OrderedDict()
-  _PARKED_CAP = 1024
+  _PARKED_CAP = 4096
 
   def find_ccs_record(ccs_seqname):
     if ccs_seqname in ccs_parked:
@@ -213,8 +211,12 @@ def create_proc_feeder(
       if cand.qname == ccs_seqname:
         return cand
       ccs_parked[cand.qname] = cand
-      while len(ccs_parked) > _PARKED_CAP:
-        ccs_parked.popitem(last=False)
+      if len(ccs_parked) > _PARKED_CAP:
+        raise IOError(
+            f'ccs bam order diverges from subreads_to_ccs by more than '
+            f'{_PARKED_CAP} records while looking for {ccs_seqname!r} — '
+            'are the two BAMs from the same actc run and sort order?'
+        )
     return None
 
   def proc_feeder():

@@ -300,8 +300,13 @@ def expand_clip_indent(
     if strand == constants.Strand.REVERSE:
       pw_vals = pw_vals[::-1]
       ip_vals = ip_vals[::-1]
-    new_pw[body][consumes_q] = pw_vals.astype(np.uint8)
-    new_ip[body][consumes_q] = ip_vals.astype(np.uint8)
+    # Clip BEFORE the uint8 cast: PacBio pw/ip tags may be 'B,S' (uint16)
+    # arrays, and a bare astype would WRAP values > 255 (300 -> 44). The
+    # reference keeps raw values and clips to PW_MAX/IP_MAX=255 at model
+    # input (data_providers.py:128-184), so clip-to-255 here reproduces
+    # the same model input for wide tags.
+    new_pw[body][consumes_q] = np.minimum(pw_vals, 255).astype(np.uint8)
+    new_ip[body][consumes_q] = np.minimum(ip_vals, 255).astype(np.uint8)
     sn = np.asarray(record.get_tag('sn'))
   else:
     sn = np.empty(0, dtype=np.uint8)
