@@ -77,7 +77,11 @@ class BaiIndex:
     for b in reg2bins(start, end):
       for beg, cend in bins.get(b, ()):
         if cend > min_voff:
-          out.append((int(beg), int(cend)))
+          # Clamp the chunk start up to the linear-index floor (htslib
+          # does the same): a low-level bin's chunk can span most of the
+          # contig, and without the clamp a window query near the end
+          # decompresses/parses O(contig) records it then filters out.
+          out.append((max(int(beg), min_voff), int(cend)))
     out.sort()
     # Merge adjacent/overlapping chunks to minimize seeks.
     merged: List[Tuple[int, int]] = []
@@ -160,6 +164,19 @@ class IndexedBamReader:
     with bam.BamReader(path, eager=False) as r:
       self.header = r.header
     self.index = BaiIndex(index_path or path + '.bai')
+    # One persistent voffset reader serves every fetch (seek_voffset
+    # repositions arbitrarily); per-fetch open/close was thousands of
+    # syscalls for interval-strided callers like calculate_baseq.
+    self._reader = _VOffsetReader(self.path)
+
+  def close(self) -> None:
+    self._reader.close()
+
+  def __enter__(self) -> 'IndexedBamReader':
+    return self
+
+  def __exit__(self, *exc) -> None:
+    self.close()
 
   def fetch(
       self, contig: str, start: int = 0, end: Optional[int] = None
@@ -175,35 +192,37 @@ class IndexedBamReader:
     start = max(0, start)
     if start >= end:
       return
-    reader = _VOffsetReader(self.path)
-    try:
-      for chunk_beg, chunk_end in self.index.chunks_for_region(
-          ref_id, start, end
-      ):
-        reader.seek_voffset(chunk_beg)
-        while reader.voffset() < chunk_end:
-          size_bytes = reader.read(4)
-          if len(size_bytes) < 4:
-            break
-          (block_size,) = struct.unpack('<i', size_bytes)
-          blob = reader.read(block_size)
-          if len(blob) < block_size:
-            break
-          rec = bam.parse_record(blob, self.header)
-          if rec.ref_id > ref_id or (
-              rec.ref_id == ref_id and rec.pos >= end
-          ):
-            break  # coordinate sorted: nothing further can overlap
-          if rec.ref_id != ref_id:
-            continue
-          ref_span = int(
-              np.sum(
-                  rec.cigar_lens[
-                      np.isin(rec.cigar_ops, constants.REF_ADVANCING_OPS)
-                  ]
-              )
-          )
-          if rec.pos + ref_span > start:
-            yield rec
-    finally:
-      reader.close()
+    reader = self._reader
+    for chunk_beg, chunk_end in self.index.chunks_for_region(
+        ref_id, start, end
+    ):
+      reader.seek_voffset(chunk_beg)
+      while reader.voffset() < chunk_end:
+        size_bytes = reader.read(4)
+        if len(size_bytes) < 4:
+          break
+        (block_size,) = struct.unpack('<i', size_bytes)
+        if block_size < 0:
+          raise IOError('truncated BAM record')
+        blob = reader.read(block_size)
+        if len(blob) < block_size:
+          break
+        rec = bam.parse_record(blob, self.header)
+        if rec.ref_id > ref_id or (
+            rec.ref_id == ref_id and rec.pos >= end
+        ):
+          break  # coordinate sorted: nothing further can overlap
+        if rec.ref_id != ref_id:
+          continue
+        ref_span = int(
+            np.sum(
+                rec.cigar_lens[
+                    np.isin(rec.cigar_ops, constants.REF_ADVANCING_OPS)
+                ]
+            )
+        )
+        # htslib's bam_endpos treats a record with no reference-
+        # advancing ops (placed-unmapped, fully soft-clipped) as
+        # length 1, so pysam.fetch yields it when placed at `start`.
+        if rec.pos + max(ref_span, 1) > start:
+          yield rec

@@ -87,6 +87,9 @@ class BamRecord:
       'ref_id',
       'pos',
       'mapq',
+      'next_ref_id',
+      'next_pos',
+      'tlen',
       '_cigar_raw',
       '_cigartuples',
       'qual',
@@ -109,6 +112,12 @@ class BamRecord:
     self.ref_id = -1
     self.pos = -1
     self.mapq = 0
+    # Mate-pair fields: not used by the CCS pipeline itself but preserved
+    # through read->write round trips (review r5: they were silently
+    # zeroed for arbitrary mapped records).
+    self.next_ref_id = -1
+    self.next_pos = -1
+    self.tlen = 0
     self._cigar_raw: Optional[np.ndarray] = None  # raw u32 op words
     self._cigartuples: Optional[List[Tuple[int, int]]] = None
     self.qual: Optional[np.ndarray] = None
@@ -412,14 +421,17 @@ def parse_record(blob: bytes, header: Optional[BamHeader] = None) -> BamRecord:
       n_cigar_op,
       flag,
       l_seq,
-      _next_ref_id,
-      _next_pos,
-      _tlen,
+      next_ref_id,
+      next_pos,
+      tlen,
   ) = struct.unpack_from('<iiBBHHHiiii', blob, 0)
   rec.ref_id = ref_id
   rec.pos = pos
   rec.mapq = mapq
   rec.flag = flag
+  rec.next_ref_id = next_ref_id
+  rec.next_pos = next_pos
+  rec.tlen = tlen
   off = 32
   rec.qname = blob[off : off + l_read_name - 1].decode('ascii')
   off += l_read_name
@@ -498,6 +510,9 @@ def _records_from_batch(
     rec.mapq = mapqs[i]
     rec.flag = flags[i]
     rec.qname = all_names[name_starts[i] : name_starts[i + 1]]
+    rec.next_ref_id, rec.next_pos, rec.tlen = struct.unpack_from(
+        '<iii', buf, offsets[i] + 20
+    )
     rec._cigar_raw = cigar_arr[cigar_starts[i] : cigar_starts[i + 1]]
     s0, s1 = seq_starts[i], seq_starts[i + 1]
     rec._seq_bytes = seq_arr[s0:s1]
@@ -585,7 +600,9 @@ class BamReader:
         raise IOError('truncated BAM record size field')
       (block_size,) = struct.unpack_from('<i', self._buf, self._pos)
       start = self._pos + 4
-      if start + block_size > len(self._buf):
+      if block_size < 0 or start + block_size > len(self._buf):
+        # A negative size (corrupt bytes read as signed int32) would move
+        # the cursor backwards and mis-slice; fail like truncation.
         raise IOError('truncated BAM record')
       self._pos = start + block_size
       return parse_record(self._buf[start : start + block_size], self.header)
@@ -595,6 +612,8 @@ class BamReader:
     if len(size_bytes) < 4:
       raise IOError('truncated BAM record size field')
     (block_size,) = struct.unpack('<i', size_bytes)
+    if block_size < 0:
+      raise IOError('truncated BAM record')
     blob = self._r.read(block_size)
     if len(blob) < block_size:
       raise IOError('truncated BAM record')
@@ -643,29 +662,44 @@ def encode_tag(name: str, value: Any, type_hint: Optional[str] = None) -> bytes:
     return tag + b'A' + value.encode('ascii')
   if type_hint == 'B':
     arr = np.asarray(value)
-    if arr.dtype in (np.int64, np.uint64):
-      # numpy's default for Python int lists; BAM 'B' subtypes stop at
-      # 32 bits, so downcast when the values fit and fail clearly when
-      # they don't (instead of a bare KeyError on the dtype).
-      target = np.int32 if arr.dtype == np.int64 else np.uint32
-      cast = arr.astype(target)
-      if not np.array_equal(cast, arr):
-        raise ValueError(
-            f'tag {name!r}: values exceed 32-bit BAM array range'
-        )
-      arr = cast
-    sub = {
-        np.dtype(np.int8): b'c',
-        np.dtype(np.uint8): b'C',
-        np.dtype(np.int16): b's',
-        np.dtype(np.uint16): b'S',
-        np.dtype(np.int32): b'i',
-        np.dtype(np.uint32): b'I',
-        np.dtype(np.float32): b'f',
-    }[arr.dtype]
+    if arr.dtype == np.float32 or arr.dtype == np.float64:
+      arr = arr.astype(np.float32)
+      sub = b'f'
+    else:
+      # Integer arrays encode at the NARROWEST width their VALUES fit —
+      # not the in-memory dtype: the native batch parser hands pw/ip back
+      # as uint16 while the pure-Python parser keeps the stored subtype,
+      # and value-determined widths keep re-encoded bytes identical
+      # regardless of which parser produced the record. BAM 'B' subtypes
+      # stop at 32 bits; fail clearly beyond that.
+      if arr.size == 0:
+        lo = hi = 0
+      else:
+        lo, hi = int(arr.min()), int(arr.max())
+      if lo >= 0:
+        if hi < 2**8:
+          arr, sub = arr.astype(np.uint8), b'C'
+        elif hi < 2**16:
+          arr, sub = arr.astype(np.uint16), b'S'
+        elif hi < 2**32:
+          arr, sub = arr.astype(np.uint32), b'I'
+        else:
+          raise ValueError(
+              f'tag {name!r}: values exceed 32-bit BAM array range'
+          )
+      else:
+        if -(2**7) <= lo and hi < 2**7:
+          arr, sub = arr.astype(np.int8), b'c'
+        elif -(2**15) <= lo and hi < 2**15:
+          arr, sub = arr.astype(np.int16), b's'
+        elif -(2**31) <= lo and hi < 2**31:
+          arr, sub = arr.astype(np.int32), b'i'
+        else:
+          raise ValueError(
+              f'tag {name!r}: values exceed 32-bit BAM array range'
+          )
     return (
-        tag + b'B' + sub + struct.pack('<i', arr.size)
-        + arr.astype(arr.dtype, copy=False).tobytes()
+        tag + b'B' + sub + struct.pack('<i', arr.size) + arr.tobytes()
     )
   raise ValueError(f'unsupported tag type {type_hint!r}')
 
@@ -680,6 +714,9 @@ def build_record_blob(
     pos: int = -1,
     mapq: int = 255,
     cigartuples: Optional[List[Tuple[int, int]]] = None,
+    next_ref_id: int = -1,
+    next_pos: int = -1,
+    tlen: int = 0,
 ) -> bytes:
   """Serializes a BAM record body (without the leading block_size)."""
   name_b = qname.encode('ascii') + b'\x00'
@@ -703,9 +740,9 @@ def build_record_blob(
       len(cigartuples),
       flag,
       l_seq,
-      -1,
-      -1,
-      0,
+      next_ref_id,
+      next_pos,
+      tlen,
   )
   return fixed + name_b + cigar_b + seq_b + qual_b + tags
 
@@ -764,6 +801,9 @@ class BamWriter:
             pos=rec.pos,
             mapq=rec.mapq,
             cigartuples=rec.cigartuples,
+            next_ref_id=rec.next_ref_id,
+            next_pos=rec.next_pos,
+            tlen=rec.tlen,
         )
     )
 

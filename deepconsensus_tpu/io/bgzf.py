@@ -66,8 +66,12 @@ class BgzfReader:
       raise BgzfError('gzip member missing BGZF BC subfield')
     # Remainder: compressed data + CRC32 + ISIZE.
     want = bsize - _BGZF_HEADER_LEN - xlen
+    if want < 8:
+      # A corrupt BSIZE smaller than its own header would make `want`
+      # negative — and file.read(negative) slurps the remaining file.
+      raise BgzfError(f'corrupt BGZF BSIZE ({bsize}) smaller than header')
     payload = self._fh.read(want)
-    if len(payload) < max(want, 8):
+    if len(payload) < want:
       raise BgzfError('truncated BGZF block payload')
     cdata = payload[:-8]
     isize = struct.unpack('<I', payload[-4:])[0]
@@ -96,9 +100,23 @@ class BgzfReader:
 
   def read(self, n: int) -> bytes:
     """Reads exactly n bytes unless EOF intervenes."""
-    while len(self._buf) - self._buf_pos < n:
-      if not self._fill():
-        break
+    if len(self._buf) - self._buf_pos < n:
+      # Accumulate whole blocks in a list and join ONCE: refilling via
+      # leftover+block concatenation is O(n^2) for reads spanning many
+      # blocks (e.g. a multi-MB @SQ header at 64 KB per block).
+      parts = [self._buf[self._buf_pos :]]
+      have = len(parts[0])
+      self._buf = b''
+      self._buf_pos = 0
+      while have < n and not self._eof:
+        block = self._read_block()
+        if block is None:
+          self._eof = True
+          break
+        if block:
+          parts.append(block)
+          have += len(block)
+      self._buf = b''.join(parts)
     out = self._buf[self._buf_pos : self._buf_pos + n]
     self._buf_pos += len(out)
     if self._buf_pos == len(self._buf):
@@ -195,6 +213,7 @@ class BgzfWriter:
     self._level = compresslevel
     self._buf = bytearray()
     self._chunk = 0xFF00  # htslib's uncompressed block payload target.
+    self._closed = False
 
   def write(self, data: bytes) -> None:
     self._buf += data
@@ -222,9 +241,19 @@ class BgzfWriter:
       self._flush_block(bytes(self._buf))
       self._buf.clear()
 
-  def close(self) -> None:
+  def close(self, write_eof: bool = True) -> None:
+    """Flushes and closes; idempotent (a second close is a no-op).
+
+    write_eof=False skips the 28-byte EOF magic — used when an exception
+    aborted the write so htslib-style truncation detection (checking the
+    trailing EOF member) correctly flags the file as incomplete.
+    """
+    if self._closed:
+      return
+    self._closed = True
     self.flush()
-    self._fh.write(_BGZF_EOF)
+    if write_eof:
+      self._fh.write(_BGZF_EOF)
     if self._owns_fh:
       self._fh.close()
     else:
@@ -233,8 +262,11 @@ class BgzfWriter:
   def __enter__(self) -> 'BgzfWriter':
     return self
 
-  def __exit__(self, *exc) -> None:
-    self.close()
+  def __exit__(self, exc_type, *exc) -> None:
+    # On an exception inside the with-block, leave the file WITHOUT the
+    # EOF magic so downstream readers detect it as truncated rather
+    # than stamping a half-written stream as complete.
+    self.close(write_eof=exc_type is None)
 
 
 def read_member_at(fh) -> Optional[tuple]:
@@ -260,8 +292,11 @@ def read_member_at(fh) -> Optional[tuple]:
   if bsize is None:
     raise BgzfError('gzip member missing BGZF BC subfield')
   want = bsize - _BGZF_HEADER_LEN - xlen
+  if want < 8:
+    # Mirror _read_block: a corrupt BSIZE must not become read(negative).
+    raise BgzfError(f'corrupt BGZF BSIZE ({bsize}) smaller than header')
   payload = fh.read(want)
-  if len(payload) < max(want, 8):
+  if len(payload) < want:
     raise BgzfError('truncated BGZF block payload')
   cdata = payload[:-8]
   try:

@@ -180,13 +180,21 @@ def test_set_tag_survives_write_record(tmp_path):
   assert out.get_tag('zz') == 42
 
 
-def test_int_list_tags_encode_as_32bit():
+def test_int_array_tags_encode_at_narrowest_width():
+  """Integer 'B' tags encode at the narrowest width their VALUES fit, so
+  re-encoded bytes don't depend on which parser (native uint16 fast path
+  vs pure-Python stored-subtype path) produced the in-memory array."""
   import numpy as np
 
   from deepconsensus_tpu.io import bam
 
-  blob = bam.encode_tag('pw', [10, 12, 9])
-  assert blob[2:4] == b'Bi'
+  assert bam.encode_tag('pw', [10, 12, 9])[2:4] == b'BC'
+  assert bam.encode_tag('pw', np.asarray([10, 300], np.uint16))[2:4] == b'BS'
+  # Same VALUES in different dtypes -> identical bytes.
+  assert bam.encode_tag('pw', np.asarray([1, 2], np.uint16)) == bam.encode_tag(
+      'pw', np.asarray([1, 2], np.uint8)
+  )
+  assert bam.encode_tag('xx', [-3, 200])[2:4] == b'Bs'
   with pytest.raises(ValueError, match='32-bit'):
     bam.encode_tag('pw', np.asarray([2**40]))
 
