@@ -119,9 +119,12 @@ def train_distillation(
   ccs_slice = configs.get_indices(params.max_passes, params.use_ccs_bq)[4]
   global_batch = params.batch_size
 
-  def compute_losses(variables, rows, labels):
+  def compute_losses(variables, teacher, rows, labels):
+    # The frozen teacher arrives as a jit ARGUMENT (replicated), not a
+    # closure: closing over host numpy would bake the full teacher tree
+    # into both executables as XLA constants (review r5).
     teacher_out = teacher_model.apply(
-        teacher_vars, rows, deterministic=True, method='intermediate_outputs'
+        teacher, rows, deterministic=True, method='intermediate_outputs'
     )
     student_out = student_model.apply(
         variables, rows, deterministic=True, method='intermediate_outputs'
@@ -145,9 +148,9 @@ def train_distillation(
     }
     return losses['total_loss'], (losses, student_preds)
 
-  def train_step(variables, opt_state, rows, labels):
+  def train_step(variables, opt_state, teacher, rows, labels):
     grads, (losses, preds) = jax.grad(compute_losses, has_aux=True)(
-        variables, rows, labels
+        variables, teacher, rows, labels
     )
     updates, opt_state = tx.update(
         grads['params'], opt_state, variables['params']
@@ -170,8 +173,8 @@ def train_distillation(
     )
     return variables, opt_state, metrics
 
-  def eval_step(variables, rows, labels):
-    _, (losses, preds) = compute_losses(variables, rows, labels)
+  def eval_step(variables, teacher, rows, labels):
+    _, (losses, preds) = compute_losses(variables, teacher, rows, labels)
     ccs = rows[:, ccs_slice[0], :, 0]
     identity_ccs, identity_pred = alignment.batch_identity_ccs_pred(
         ccs, preds, labels
@@ -190,16 +193,17 @@ def train_distillation(
   repl = mesh_lib.replicated(mesh)
   jit_train = jax.jit(
       train_step,
-      in_shardings=(repl, repl, batch_shard, batch_shard),
+      in_shardings=(repl, repl, repl, batch_shard, batch_shard),
       out_shardings=(repl, repl, repl),
       donate_argnums=(0, 1),
   )
   jit_eval = jax.jit(
-      eval_step, in_shardings=(repl, batch_shard, batch_shard),
+      eval_step, in_shardings=(repl, repl, batch_shard, batch_shard),
       out_shardings=repl,
   )
   student_vars = mesh_lib.shard_params(student_vars, mesh)
   opt_state = mesh_lib.shard_params(opt_state, mesh)
+  teacher_vars = mesh_lib.shard_params(teacher_vars, mesh)
 
   train_iter = input_pipeline.Prefetcher(
       input_pipeline.example_stream(
@@ -246,6 +250,7 @@ def train_distillation(
           jax.device_get(
               jit_eval(
                   student_vars,
+                  teacher_vars,
                   mesh_lib.shard_batch(erows, mesh),
                   mesh_lib.shard_batch(elabels, mesh),
               )
@@ -259,6 +264,7 @@ def train_distillation(
       student_vars, opt_state, metrics = jit_train(
           student_vars,
           opt_state,
+          teacher_vars,
           mesh_lib.shard_batch(rows, mesh),
           mesh_lib.shard_batch(labels, mesh),
       )
@@ -305,8 +311,12 @@ def train_distillation(
         step=step,
         opt_state=jax.device_get(opt_state),
     )
+    # Marker field 2 is the WITHIN-EPOCH step (the resume parser's
+    # contract; mirrors loop.py's final-marker fix) — the global `step`
+    # here would make a later resume skip the final epoch entirely.
+    final_step_train = (step - 1) % steps_per_epoch if step else 0
     with open(os.path.join(out_dir, 'eval_checkpoint.txt'), 'w') as f:
-      f.write(f'{ckpt_name}\t{params.num_epochs - 1}\t{step}')
+      f.write(f'{ckpt_name}\t{params.num_epochs - 1}\t{final_step_train}')
     loop_lib.write_metrics_row(
         metrics_tsv, os.path.basename(ckpt_name), last_eval
     )

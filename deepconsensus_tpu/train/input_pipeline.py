@@ -261,13 +261,22 @@ def multihost_stream(
     # would silently duplicate/drop examples in the global batch).
     from jax.experimental import multihost_utils
 
-    counts = multihost_utils.process_allgather(
-        np.asarray([len(files)], np.int32)
-    )
-    if not (counts == counts[0]).all():
+    # Compare a digest of the sorted file NAMES, not just the count:
+    # equal-sized but different listings (a,b vs a,c under listing lag)
+    # would pass a count check and then silently drop/duplicate shards
+    # in the round-robin assignment (review r5).
+    import hashlib
+
+    digest = hashlib.sha256(
+        '\n'.join(sorted(files)).encode()
+    ).digest()[:8]
+    mine = np.frombuffer(digest, np.int64)
+    digests = multihost_utils.process_allgather(mine)
+    if not (digests == digests[0]).all():
       raise ValueError(
-          f'hosts disagree on the input file count ({counts.ravel().tolist()}'
-          f' for {file_patterns!r}): shared storage not yet consistent?'
+          f'hosts disagree on the input file LISTING for '
+          f'{file_patterns!r} (digests {digests.ravel().tolist()}): '
+          'shared storage not yet consistent?'
       )
   if len(files) >= num_hosts:
     # Pass the resolved listing down (single directory scan; the branch
@@ -556,11 +565,16 @@ class Prefetcher:
     self._iterator = iterator
 
     def worker():
+      # Producer exceptions must reach the consumer AS themselves: a bare
+      # `finally: put(done)` would reclassify e.g. a transient IOError as
+      # StopIteration, silently ending the epoch and bypassing
+      # train_with_retry's transient-error matching (review r5).
       try:
         for item in iterator:
           self._q.put(item)
-      finally:
         self._q.put(self._done)
+      except BaseException as e:  # re-raised at the consumer
+        self._q.put(e)
 
     self._thread = threading.Thread(target=worker, daemon=True)
     self._thread.start()
@@ -572,4 +586,6 @@ class Prefetcher:
     item = self._q.get()
     if item is self._done:
       raise StopIteration
+    if isinstance(item, BaseException):
+      raise item
     return item

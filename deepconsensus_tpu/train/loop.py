@@ -35,7 +35,17 @@ logger = logging.getLogger(__name__)
 
 
 def make_learning_rate_schedule(params, decay_steps: int):
-  """Polynomial decay with linear warmup (model_utils.py:621-669)."""
+  """Polynomial decay with linear warmup (model_utils.py:621-669).
+
+  Matches tf-models' LinearWarmup contract: during warmup the LR ramps
+  linearly from 0 to poly(warmup_steps); AFTER warmup the polynomial is
+  evaluated at the GLOBAL step (continuous at the boundary). The naive
+  optax.join_schedules composition evaluates the second schedule at
+  (step - warmup_steps), which both jumps the LR back UP to the initial
+  value at the boundary and delays the whole decay by warmup_steps —
+  with the production 16000-step warmup, a materially different curve
+  (review r5, verified numerically).
+  """
   poly = optax.polynomial_schedule(
       init_value=params.initial_learning_rate,
       end_value=params.end_learning_rate,
@@ -45,12 +55,14 @@ def make_learning_rate_schedule(params, decay_steps: int):
   warmup_steps = int(params.warmup_steps)
   if warmup_steps <= 0:
     return poly
-  warmup = optax.linear_schedule(
-      init_value=0.0,
-      end_value=float(poly(warmup_steps)),
-      transition_steps=warmup_steps,
-  )
-  return optax.join_schedules([warmup, poly], [warmup_steps])
+
+  def schedule(step):
+    step = jnp.asarray(step)
+    frac = step.astype(jnp.float32) / float(warmup_steps)
+    warm = frac * poly(warmup_steps)
+    return jnp.where(step < warmup_steps, warm, poly(step))
+
+  return schedule
 
 
 def _decay_mask(params_tree):
@@ -179,6 +191,9 @@ class MetricAccumulator:
     self.quality_threshold = quality_threshold
     self.reset()
 
+  _KNOWN = ('loss', 'correct_examples', 'total_examples', 'identity_pred',
+            'identity_ccs')
+
   def reset(self):
     self.loss_sum = 0.0
     self.n_steps = 0
@@ -187,6 +202,7 @@ class MetricAccumulator:
     self.identity_sum = 0.0
     self.yield_dc = 0
     self.yield_ccs = 0
+    self.extra_sums: Dict[str, float] = {}
 
   def update(self, m: Dict[str, Any]):
     self.loss_sum += float(m['loss'])
@@ -196,17 +212,29 @@ class MetricAccumulator:
     self.identity_sum += float(m['identity_pred'])
     self.yield_dc += int(float(m['identity_pred']) >= self.quality_threshold)
     self.yield_ccs += int(float(m['identity_ccs']) >= self.quality_threshold)
+    # Extra scalar metrics (e.g. distillation's student_loss/distill_loss
+    # components) accumulate as means so specialized loops can report
+    # more than the fixed reference set without reimplementing this.
+    for key, value in m.items():
+      if key in self._KNOWN or key == 'total_loss':
+        continue
+      try:
+        self.extra_sums[key] = self.extra_sums.get(key, 0.0) + float(value)
+      except (TypeError, ValueError):
+        continue
 
   def result(self, prefix: str) -> Dict[str, float]:
     n = max(self.n_steps, 1)
-    return {
+    out = {f'{prefix}/{k}': v / n for k, v in self.extra_sums.items()}
+    out.update({
         f'{prefix}/loss': self.loss_sum / n,
         f'{prefix}/per_example_accuracy': self.correct / max(self.total, 1),
         f'{prefix}/alignment_identity': self.identity_sum / n,
         f'{prefix}/yield_over_ccs': (
             self.yield_dc / self.yield_ccs if self.yield_ccs else 0.0
         ),
-    }
+    })
+    return out
 
 
 def get_step_counts(params, eval_and_log_every_step: bool = False):
@@ -222,6 +250,28 @@ def get_step_counts(params, eval_and_log_every_step: bool = False):
       max(1, params.limit // params.batch_size),
       max(1, params.limit // params.batch_size),
   )
+
+
+def _read_best_metric(metrics_tsv_path: str) -> float:
+  """Max historical MAIN_EVAL_METRIC from checkpoint_metrics.tsv (0.0 if none)."""
+  best = 0.0
+  try:
+    with open(metrics_tsv_path) as f:
+      header = f.readline().rstrip('\n').split('\t')
+      try:
+        col = header.index(constants.MAIN_EVAL_METRIC_NAME)
+      except ValueError:
+        return best
+      for line in f:
+        fields = line.rstrip('\n').split('\t')
+        if len(fields) > col:
+          try:
+            best = max(best, float(fields[col]))
+          except ValueError:
+            continue
+  except OSError:
+    pass
+  return best
 
 
 def write_metrics_row(path: str, checkpoint_name: str, metrics: Dict[str, Any]):
@@ -318,12 +368,17 @@ def train(
   opt_state = tx.init(variables['params'])
 
   # Resume from an interrupted run in out_dir (reference eval_checkpoint.txt
-  # contract: "name\tepoch\tstep", model_utils.py:511-540).
+  # contract: "name\tepoch\tstep", model_utils.py:511-540). The marker WINS
+  # over initial_checkpoint: a warm-started run that gets preempted must
+  # continue from its own latest checkpoint on retry, not restart the whole
+  # run from the warm-start weights at epoch 0 (review r5 —
+  # train_with_retry re-enters this function with initial_checkpoint still
+  # set).
   initial_epoch = 0
   initial_step = 0
   resume_marker = os.path.join(out_dir, 'eval_checkpoint.txt')
   parts = None
-  if os.path.exists(resume_marker) and not initial_checkpoint:
+  if os.path.exists(resume_marker):
     with open(resume_marker) as f:
       candidate = f.read().strip().split('\t')
     if len(candidate) == 3 and os.path.exists(candidate[0]):
@@ -440,10 +495,14 @@ def train(
     )
     writer.flush()
 
-  max_main_metric = 0.0
+  # Restore the historical best from checkpoint_metrics.tsv on resume: a
+  # 0.0 init would let the FIRST post-resume eval overwrite
+  # best_checkpoint.txt with a worse checkpoint (review r5).
+  max_main_metric = _read_best_metric(metrics_tsv)
   step = initial_epoch * steps_per_epoch + initial_step
   last_eval_metrics: Dict[str, float] = {}
   t_start = time.time()
+  steps_since_log = 0
   for epoch in range(initial_epoch, frozen.num_epochs):
     logger.info('Starting epoch %d', epoch)
     for step_train in range(initial_step, steps_per_epoch):
@@ -457,12 +516,16 @@ def train(
       )
       train_acc.update(jax.device_get(metrics))
       step += 1
+      steps_since_log += 1
       if profile_steps and step == profile_steps[1]:
         jax.profiler.stop_trace()
       if step % log_train_steps == 0:
         result = train_acc.result('train')
-        result['train/steps_per_second'] = log_train_steps / (
-            time.time() - t_start
+        # Count the steps actually timed since t_start: an eval or a
+        # resume inside the window resets the clock, and assuming
+        # log_train_steps would inflate the rate ~2x (review r5).
+        result['train/steps_per_second'] = steps_since_log / max(
+            time.time() - t_start, 1e-9
         )
         result['train/learning_rate'] = float(schedule(step))
         result.update(epoch=epoch, step=step)
@@ -474,6 +537,7 @@ def train(
         tb_write(tb_train, 'train/', result, step)
         train_acc.reset()
         t_start = time.time()
+        steps_since_log = 0
 
       if step % log_eval_steps == 0 or step == total_train_steps:
         eval_acc.reset()
@@ -511,6 +575,7 @@ def train(
             with open(os.path.join(out_dir, 'best_checkpoint.txt'), 'w') as f:
               f.write(os.path.basename(ckpt_name))
         t_start = time.time()
+        steps_since_log = 0
     initial_step = 0
 
   # Always leave a final checkpoint (covers runs shorter than

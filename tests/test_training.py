@@ -261,3 +261,41 @@ def test_yield_over_ccs_matches_reference_semantics():
       'identity_pred': 0.997, 'identity_ccs': 0.997,
   })
   assert acc3.result('eval')['eval/yield_over_ccs'] == 1.0
+
+
+def test_lr_schedule_continuous_and_global_step_decay():
+  """tf-models LinearWarmup contract (review r5): the post-warmup LR is
+  the polynomial evaluated at the GLOBAL step — continuous at the
+  boundary, reaching end_learning_rate at decay_steps, not at
+  decay_steps + warmup_steps (the naive join_schedules composition
+  jumped back UP to the initial LR at the boundary)."""
+  params = configs.get_config('transformer_learn_values+test')
+  with params.unlocked():
+    params.warmup_steps = 50
+  configs.finalize_params(params)
+  sched = loop.make_learning_rate_schedule(params, decay_steps=100)
+  lrs = [float(sched(s)) for s in range(160)]
+  # Monotone ramp during warmup.
+  assert all(b >= a for a, b in zip(lrs[:50], lrs[1:50]))
+  # Continuity at the boundary: no jump bigger than one warmup increment.
+  assert abs(lrs[50] - lrs[49]) < lrs[1] * 1.5
+  # Decay completes at decay_steps (global), not decay_steps + warmup.
+  assert lrs[100] == pytest.approx(params.end_learning_rate, rel=1e-5)
+  assert lrs[120] == pytest.approx(params.end_learning_rate, rel=1e-5)
+  # Never exceeds the initial LR.
+  assert max(lrs) <= params.initial_learning_rate + 1e-9
+
+
+def test_prefetcher_propagates_producer_errors():
+  """A producer exception must surface as ITSELF at the consumer, not as
+  a bare StopIteration (review r5: it used to end the epoch silently and
+  bypass train_with_retry's transient-error matching)."""
+
+  def gen():
+    yield 1
+    raise IOError('CONNECTION reset by peer')
+
+  it = input_pipeline.Prefetcher(gen())
+  assert next(it) == 1
+  with pytest.raises(IOError, match='CONNECTION'):
+    next(it)
