@@ -97,16 +97,34 @@ class InMemoryBamIndex:
         if name is not None:
           self.by_contig.setdefault(name, []).append(rec)
     self._starts = {}
+    self._prefix_max_end = {}
     for contig, recs in self.by_contig.items():
       recs.sort(key=lambda r: r.pos)
       self._starts[contig] = [r.pos for r in recs]
+      # Precompute reference spans ONCE and keep a running prefix max of
+      # end positions: interval-strided callers issue thousands of
+      # fetches, and recomputing spans over recs[:hi] per fetch was
+      # O(intervals * reads) (review r5).
+      ends = [r.pos + reference_span(r) for r in recs]
+      pm = []
+      m = 0
+      for e in ends:
+        m = max(m, e)
+        pm.append(m)
+      self._prefix_max_end[contig] = (ends, pm)
 
   def fetch(self, contig: str, start: int, stop: int):
     recs = self.by_contig.get(contig, [])
     starts = self._starts.get(contig, [])
-    # All reads starting before `stop` could overlap; filter by span.
+    if not recs:
+      return []
+    ends, prefix_max = self._prefix_max_end[contig]
+    # Candidates: pos < stop (bisect hi) AND end > start. prefix_max is
+    # nondecreasing, so the first index whose running-max end exceeds
+    # `start` bounds the scan from below.
     hi = bisect.bisect_left(starts, stop)
-    return [r for r in recs[:hi] if r.pos + reference_span(r) > start]
+    lo = bisect.bisect_right(prefix_max, start)
+    return [r for i, r in enumerate(recs[lo:hi], lo) if ends[i] > start]
 
 
 def get_quality_calibration_stats(
@@ -173,11 +191,18 @@ def get_quality_calibration_stats(
   return counts
 
 
+_PREFORK_INDEX = {}  # path -> InMemoryBamIndex, built before the pool
+
+
 def _open_region_index(bam_path: str):
   """BAI-backed fetch when an index exists (whole-genome scale);
-  in-memory scan otherwise."""
+  in-memory scan otherwise (shared from the parent via fork when the
+  pool runner pre-built it — each worker re-decoding the whole BAM cost
+  O(workers * bam), review r5)."""
   import os
 
+  if bam_path in _PREFORK_INDEX:
+    return _PREFORK_INDEX[bam_path]
   if os.path.exists(bam_path + '.bai'):
     from deepconsensus_tpu.io import bai
 
@@ -232,14 +257,26 @@ def run(
   intervals = split_regions_in_intervals(regions, interval_size)
 
   if cpus and cpus > 1:
+    import multiprocessing
+    import os as os_lib
+
+    if not os_lib.path.exists(bam_path + '.bai') and (
+        multiprocessing.get_start_method(allow_none=True) in (None, 'fork')
+    ):
+      # Build the in-memory index ONCE pre-fork; workers inherit the
+      # pages copy-on-write instead of each decoding the whole BAM.
+      _PREFORK_INDEX[bam_path] = InMemoryBamIndex(bam_path)
     shards = [
         (bam_path, fasta, intervals[i::cpus], min_mapq, dc_calibration)
         for i in range(cpus)
     ]
     total = np.zeros((MAX_BASEQ, 2), dtype=np.int64)
-    with concurrent.futures.ProcessPoolExecutor(max_workers=cpus) as pool:
-      for part in pool.map(calculate_for_intervals, shards):
-        total += part
+    try:
+      with concurrent.futures.ProcessPoolExecutor(max_workers=cpus) as pool:
+        for part in pool.map(calculate_for_intervals, shards):
+          total += part
+    finally:
+      _PREFORK_INDEX.pop(bam_path, None)
   else:
     total = calculate_for_intervals(
         (bam_path, fasta, intervals, min_mapq, dc_calibration)

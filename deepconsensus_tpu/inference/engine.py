@@ -1429,7 +1429,7 @@ def load_model_for_inference(
     with params.unlocked():
       for k, v in param_overrides.items():
         params[k] = v
-  configs.finalize_params(params)
+  configs.finalize_params(params, is_training=False)
   if variables is not None:
     if num_devices is not None and num_devices > 1:
       from deepconsensus_tpu.parallel import dp_inference
@@ -1533,7 +1533,7 @@ def run_inference(
     # (quick_inference.py:501-502).
     runner = None
     params = configs.read_params_from_json(checkpoint_path)
-    configs.finalize_params(params)
+    configs.finalize_params(params, is_training=False)
   else:
     runner, params = load_model_for_inference(
         checkpoint_path, batch_size, dtype, num_devices=num_devices,

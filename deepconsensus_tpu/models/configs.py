@@ -359,14 +359,23 @@ def finalize_params(
     max_length: Optional[int] = None,
     num_replicas: int = 1,
     batch_scale: bool = False,
+    is_training: bool = True,
 ) -> ml_collections.ConfigDict:
   """Fills in derived sizes (reference: model_utils.modify_params).
 
   Unlike the reference, accelerator batch scaling is explicit: pass
   num_replicas (mesh data-axis size) and batch_scale=True to multiply the
   per-replica batch to the global batch, instead of sniffing GPUs/TPUs.
+
+  is_training=False (inference/export from a checkpoint) skips dataset
+  expansion entirely, like the reference's modify_params deleting the
+  dataset keys (model_utils.py:270-276): a custom-trained checkpoint's
+  params.json persists BOTH tf_dataset and the derived train_path, so
+  re-running set_dataset would either raise (both set) or re-require the
+  training machine's summary.training.json on the inference host.
   """
-  set_dataset(params)
+  if is_training:
+    set_dataset(params)
   with params.unlocked():
     if batch_scale and num_replicas > 1:
       params.batch_size = (
@@ -430,12 +439,28 @@ def read_params_from_json(checkpoint_path: str) -> ml_collections.ConfigDict:
     json_path = os.path.join(os.path.dirname(checkpoint_path), 'params.json')
   with open(json_path) as f:
     loaded = json.load(f)
+  dataset_name = loaded.get('dataset_config_name', 'test')
+  if dataset_name not in ('test', 'test_bq', 'custom'):
+    # Reference-trained checkpoints carry internal dataset names ('ccs',
+    # 'poa', 'ecoli', ...) whose path setters the OSS reference itself
+    # strips (reference model_configs.py:360-367). The dataset wiring is
+    # irrelevant for loading weights at inference; start from 'custom'
+    # (empty dataset) and let the loaded keys overwrite everything else.
+    dataset_name = 'custom'
   params = get_config(
       loaded.get('model_config_name', 'transformer_learn_values')
       + '+'
-      + loaded.get('dataset_config_name', 'test')
+      + dataset_name
   )
   with params.unlocked():
     for k, v in loaded.items():
-      params[k] = v
+      try:
+        params[k] = v
+      except TypeError:
+        # Forward/cross-compat: e.g. a reference params.json carries
+        # train_path=None where our config typed it as a list. Keep the
+        # loaded value; the reference warns-and-continues similarly
+        # (model_utils.py:448-460).
+        with params.ignore_type():
+          params[k] = v
   return params

@@ -21,7 +21,7 @@ logger = logging.getLogger(__name__)
 def export_model(checkpoint_path: str, output_directory: str) -> str:
   """Exports a checkpoint (ours or a reference TF checkpoint) for serving."""
   params = configs.read_params_from_json(checkpoint_path)
-  configs.finalize_params(params)
+  configs.finalize_params(params, is_training=False)
   model = model_lib.get_model(params)
   variables = model_lib.init_params(model, params)
 

@@ -112,6 +112,11 @@ class ScaledEmbedding(nn.Module):
       # the single HIGHEST contraction plus its f32-side transpose
       # placement beat the hand-restructured variants. Keep this form.
       eff = self.eff_table()
+      # Clip like the gather path below (one_hot would instead zero an
+      # out-of-vocab id, silently diverging from mode='clip' for corrupt
+      # inputs — review r5); in-range ids are untouched, so the one-hot
+      # exactness argument is unchanged.
+      ids = jnp.clip(ids, 0, self.vocab_size - 1)
       oh = jax.nn.one_hot(ids, self.vocab_size, dtype=self.dtype)
       out = jax.lax.dot_general(
           oh.reshape(-1, self.vocab_size),

@@ -41,7 +41,7 @@ def run_eval(
   8-device virtual mesh).
   """
   params = configs.read_params_from_json(checkpoint_path)
-  configs.finalize_params(params)
+  configs.finalize_params(params, is_training=False)
   with params.unlocked():
     if eval_path:
       params.eval_path = eval_path

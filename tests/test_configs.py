@@ -108,3 +108,47 @@ def test_custom_dataset_trains_via_cli(tmp_path):
   ])
   assert rc == 0
   assert os.path.exists(os.path.join(out_dir, 'best_checkpoint.txt'))
+
+
+def test_custom_trained_checkpoint_params_reload_for_inference(tmp_path):
+  """A custom-dataset training run persists BOTH tf_dataset and the
+  derived train_path in params.json; reloading it for inference must not
+  re-run dataset expansion (review r5 — it used to raise 'Cannot specify
+  both', making every custom-trained checkpoint unusable for run/eval/
+  export)."""
+  import json
+  import os
+
+  p = configs.get_config('transformer_learn_values+custom')
+  with p.unlocked():
+    p.tf_dataset = ['/nonexistent/dataset']
+    p.train_path = ['/nonexistent/dataset/train/*']
+    p.eval_path = ['/nonexistent/dataset/eval/*']
+    p.test_path = ['/nonexistent/dataset/test/*']
+    p.n_examples_train = 100
+    p.n_examples_eval = 10
+  configs.save_params_json(p, os.path.join(tmp_path, 'params.json'))
+
+  loaded = configs.read_params_from_json(str(tmp_path))
+  configs.finalize_params(loaded, is_training=False)  # must not raise
+  assert loaded.max_passes == 20
+  assert loaded.hidden_size > 0
+
+
+def test_reference_internal_dataset_names_fall_back(tmp_path):
+  """Reference-trained checkpoints carry internal dataset names ('ccs',
+  'poa', ...) whose setters the OSS reference strips; params.json load
+  must fall back to the empty 'custom' dataset instead of raising
+  (review r5)."""
+  import json
+  import os
+
+  with open('/root/reference/deepconsensus/testdata/model/params.json') as f:
+    ref = json.load(f)
+  ref['dataset_config_name'] = 'ccs'
+  with open(os.path.join(tmp_path, 'params.json'), 'w') as f:
+    json.dump(ref, f)
+  params = configs.read_params_from_json(str(tmp_path))
+  assert params.dataset_config_name == 'ccs'  # loaded value preserved
+  configs.finalize_params(params, is_training=False)
+  assert params.hidden_size == 280
