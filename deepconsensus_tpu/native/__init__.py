@@ -18,6 +18,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, 'libdcio.lib.so')
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_rebuilt_once = False
 
 
 def _build() -> bool:
@@ -52,7 +53,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     )
   except OSError:
     pass  # missing library (or source): treat as stale
-  if stale and not _build() and not os.path.exists(_LIB_PATH):
+  if stale and not _build():
+    # Never run a stale library against newer source expectations: a
+    # behavior fix to an EXISTING symbol would load cleanly and silently
+    # produce pre-fix native results (review r5). Pure-Python fallback
+    # is slower but correct.
+    logger.warning(
+        'native source is newer than the built library and the rebuild '
+        'failed; using the pure-Python fallback'
+    )
     return None
   try:
     lib = ctypes.CDLL(_LIB_PATH)
@@ -104,22 +113,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p, llp, c, u8p, u8p, u8p, u8p, c, u8p, u8p, u8p,
     ]
   except AttributeError:
-    # Library built from an older source revision: rebuild once.
+    # Library built from an older source revision: rebuild ONCE (the
+    # guard prevents unbounded recursive g++ runs when the on-disk
+    # source itself lacks the symbol, review r5).
     del lib
     _lib = None
-    if _build():
+    global _rebuilt_once
+    if not _rebuilt_once and _build():
+      _rebuilt_once = True
       _tried = False
       return get_lib()
+    logger.warning(
+        'native library lacks required symbols after rebuild; using the '
+        'pure-Python fallback'
+    )
     return None
   _lib = lib
   return _lib
-
-
-def _as_u8p(buf) -> 'ctypes.POINTER(ctypes.c_uint8)':
-  return ctypes.cast(
-      (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf),
-      ctypes.POINTER(ctypes.c_uint8),
-  )
 
 
 def _ro_u8p(buf):
@@ -176,21 +186,21 @@ def tune_allocator() -> bool:
 # A buffer is reusable exactly when nothing outside the pool references it
 # (sys.getrefcount == pool + loop local + getrefcount arg); BAM record views
 # keep their base buffer referenced, so reuse can never alias live data.
-_POOL_LOCK = None
+import threading as _threading
+
+# Created at import: a lazy check-then-assign raced (two threads could
+# each create their own Lock and both enter the pool scan, review r5).
+_POOL_LOCK = _threading.Lock()
 _BUF_POOL: list = []
 _POOL_MAX = 8
 
 
 def take_pooled_buffer(nbytes: int):
   """A uint8 array view of length nbytes over a recycled (warm) buffer."""
-  global _POOL_LOCK
   import sys
-  import threading
 
   import numpy as np
 
-  if _POOL_LOCK is None:
-    _POOL_LOCK = threading.Lock()
   with _POOL_LOCK:
     for b in _BUF_POOL:
       if b.nbytes >= nbytes and sys.getrefcount(b) == 3:
@@ -243,8 +253,11 @@ def bgzf_compress(data: bytes, level: int = 6) -> Optional[bytes]:
     return None
   cap = len(data) + (len(data) // 0xFF00 + 2) * 1024 + 1024
   dst = ctypes.create_string_buffer(cap)
+  # _ro_u8p: the C side takes const uint8*; from_buffer_copy would pay a
+  # full redundant memcpy of the payload per call on the TFRecord-write
+  # hot path (review r5). `data` stays alive for the call.
   n = lib.dc_bgzf_compress(
-      _as_u8p(data), len(data),
+      _ro_u8p(data), len(data),
       ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), cap, level,
   )
   if n < 0:
@@ -256,7 +269,7 @@ def crc32c(data: bytes, crc: int = 0) -> Optional[int]:
   lib = get_lib()
   if lib is None:
     return None
-  return int(lib.dc_crc32c(_as_u8p(data), len(data), crc))
+  return int(lib.dc_crc32c(_ro_u8p(data), len(data), crc))
 
 
 def bam_parse_batch(buf: bytes, scan: dict):

@@ -237,7 +237,12 @@ def create_proc_feeder(
         main_counter['n_zmw_missing_ccs_record'] += 1
         continue
 
-      ccs_read = reads_lib.construct_ccs_read(ccs_bam_read)
+      try:
+        ccs_read = reads_lib.construct_ccs_read(ccs_bam_read)
+      except ValueError as e:
+        logger.warning('skipping ZMW %s: %s', ccs_seqname, e)
+        main_counter['n_zmw_missing_ccs_quals'] += 1
+        continue
       window_widths = None
       if use_ccs_smart_windows:
         window_widths = np.asarray(ccs_bam_read.get_tag('wl'))

@@ -130,9 +130,16 @@ class AlignedRead:
     )
 
   def ccs_slice(self, start: int, end: int) -> 'AlignedRead':
-    """Slices by CCS coordinates; bounds inclusive (reference contract)."""
+    """Slices by CCS coordinates; bounds inclusive (reference contract).
+
+    Quirk replicated bit-for-bit from the reference (pre_lib.py:314
+    `if locs.any():`): when the ONLY matching column is array index 0,
+    `any()` over [0] is falsy and the reference returns an EMPTY read —
+    so must we, or generated training examples diverge on such windows
+    (review r5 caught `locs.size` silently "fixing" this).
+    """
     locs = np.where((self.ccs_idx >= start) & (self.ccs_idx <= end))[0]
-    if locs.size:
+    if locs.any():
       sl = slice(int(locs.min()), int(locs.max()) + 1)
     else:
       sl = slice(0, 0)
@@ -227,7 +234,20 @@ def trim_insertions(
   # Query-space keep mask.
   qlens = np.where(consumes_query, lens, 0)
   qstarts = np.concatenate([[0], np.cumsum(qlens)[:-1]])
-  mask = np.ones(int(qlens.sum()), dtype=bool)
+  total_q = int(qlens.sum())
+  if total_q != record.seq_len:
+    # Hard-clip / ref-skip cigars: the non-DEL ops would claim more
+    # query bases than the sequence has. The reference's list-based
+    # code misbehaves here too (out-of-range slice assignments silently
+    # grow its mask); such cigars are outside the actc
+    # subreads_to_ccs contract, so fail with a diagnosable error rather
+    # than a boolean-index shape crash (review r5).
+    raise ValueError(
+        f'{record.qname}: cigar consumes {total_q} query bases but the '
+        f'sequence is {record.seq_len} long — hard-clip/ref-skip cigars '
+        'are not supported by insertion trimming'
+    )
+  mask = np.ones(total_q, dtype=bool)
   for i in np.where(drop)[0]:
     mask[qstarts[i] : qstarts[i] + lens[i]] = False
 
@@ -238,8 +258,16 @@ def trim_insertions(
     if record.has_tag(tag):
       vals = np.asarray(record.get_tag(tag))
       if vals.size:
+        if vals.size != mask.size:
+          # The reference fails on this too (boolean index length
+          # mismatch); a silent prefix-truncation would misassign
+          # kinetics, worst on reverse strands (review r5).
+          raise ValueError(
+              f'{record.qname}: {tag} tag has {vals.size} values for a '
+              f'{mask.size}-base query'
+          )
         m = mask[::-1] if record.is_reverse else mask
-        record.set_tag(tag, vals[m[: vals.size]])
+        record.set_tag(tag, vals[m])
   return record
 
 
@@ -300,13 +328,14 @@ def expand_clip_indent(
     if strand == constants.Strand.REVERSE:
       pw_vals = pw_vals[::-1]
       ip_vals = ip_vals[::-1]
-    # Clip BEFORE the uint8 cast: PacBio pw/ip tags may be 'B,S' (uint16)
-    # arrays, and a bare astype would WRAP values > 255 (300 -> 44). The
-    # reference keeps raw values and clips to PW_MAX/IP_MAX=255 at model
-    # input (data_providers.py:128-184), so clip-to-255 here reproduces
-    # the same model input for wide tags.
-    new_pw[body][consumes_q] = np.minimum(pw_vals, 255).astype(np.uint8)
-    new_ip[body][consumes_q] = np.minimum(ip_vals, 255).astype(np.uint8)
+    # Bare uint8 cast WRAPS values > 255 (300 -> 44) — deliberately: the
+    # reference assigns the raw tag arrays into a uint8 buffer
+    # (pre_lib.py:1165-1186 `new_pw = np.repeat(np.uint8(0), ...)`;
+    # numpy assignment wraps), so wide 'B,S' kinetics tags wrap there
+    # too, BEFORE the PW_MAX clip at model input ever sees them.
+    # Bit-parity requires reproducing that wrap, not "fixing" it.
+    new_pw[body][consumes_q] = pw_vals.astype(np.uint8)
+    new_ip[body][consumes_q] = ip_vals.astype(np.uint8)
     sn = np.asarray(record.get_tag('sn'))
   else:
     sn = np.empty(0, dtype=np.uint8)
@@ -364,6 +393,14 @@ def construct_ccs_read(ccs_record: bam.BamRecord) -> AlignedRead:
   seq = ccs_record.seq_bytes
   n = len(seq)
   tags = ccs_record.tags
+  if ccs_record.qual is None:
+    # bam.py deliberately models QUAL='*' (all 0xFF) as None; the CCS
+    # pipeline requires base qualities (triage, skipped-window adoption),
+    # so fail with a diagnosable error instead of a numpy TypeError
+    # taking down the shard (review r5). The feeder skips such ZMWs.
+    raise ValueError(
+        f'CCS record {ccs_record.qname} has no base qualities (QUAL=*)'
+    )
   return AlignedRead(
       name=ccs_record.qname,
       bases=seq.copy(),

@@ -198,15 +198,18 @@ def test_trim_insertions_keeps_short():
   assert out.cigartuples == [(M, 4), (I, 2), (M, 4)]
 
 
-def test_uint16_pw_ip_tags_clip_not_wrap():
-  """PacBio 'B,S' (uint16) pw/ip arrays are legal; values > 255 must clip
-  to 255 like the reference's model-input clamp, not wrap modulo 256
-  (review r5: a bare astype(uint8) turned 300 into 44)."""
+def test_uint16_pw_ip_tags_wrap_like_reference():
+  """PacBio 'B,S' (uint16) pw/ip arrays are legal; values > 255 WRAP
+  modulo 256 — exactly what the reference does (pre_lib.py:1165-1186
+  assigns the raw tag array into a uint8 buffer; numpy assignment wraps
+  300 -> 44), before the model-input PW_MAX clip ever sees the values.
+  Pinned so a well-meaning clip "fix" can't silently break featurization
+  bit-parity for wide kinetics tags (review r5 caught exactly that)."""
   rec = make_record(
       'ACGT', '4M',
       pw=np.asarray([1, 300, 255, 1000], np.uint16),
       ip=np.asarray([700, 2, 256, 65535], np.uint16),
   )
   out = reads_lib.expand_clip_indent(rec)
-  np.testing.assert_array_equal(out.pw, [1, 255, 255, 255])
-  np.testing.assert_array_equal(out.ip, [255, 2, 255, 255])
+  np.testing.assert_array_equal(out.pw, np.asarray([1, 300, 255, 1000]).astype(np.uint8))
+  np.testing.assert_array_equal(out.ip, np.asarray([700, 2, 256, 65535]).astype(np.uint8))
