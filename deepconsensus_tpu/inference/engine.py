@@ -342,6 +342,20 @@ def reconstruct_compact(t, length: int, max_passes: Optional[int] = None):
   return compact
 
 
+def _start_d2h(result) -> None:
+  """Kicks off device->host copies for every array of a jit result.
+
+  The transfer then overlaps later rounds' compute — behind the remote
+  link D2H is a large fraction of round latency. Shared by every
+  predict_*_async variant (and mirrored by the sharded runner).
+  """
+  for arr in result:
+    try:
+      arr.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+      break
+
+
 def _on_tpu() -> bool:
   try:
     return jax.devices()[0].platform in ('tpu', 'axon')
@@ -430,7 +444,6 @@ class ModelRunner:
     # blocks only that thread, not the host pipeline (BENCH_r04 measured
     # a serial 291 s upload in a bad phase).
     self._weights = AsyncWeightUpload(variables)
-    self._use_ccs_bq = bool(params.use_ccs_bq)
     # One-hot MXU embedding lookups on TPU (bit-identical to gathers and
     # ~4x faster there; CPU keeps gathers — the one-hot would materialize).
     embed_matmul = _on_tpu()
@@ -597,17 +610,17 @@ class ModelRunner:
     # Size pass first, then pack each batch straight into the round
     # buffer (wire_pack(out=...)): one host copy of the ~13 MB round
     # instead of per-batch buffers memcpy'd a second time.
-    sizes = [data.wire_layout(t)[1] for t, _ in transports]
-    total = sum(sizes)
+    layouts = [data.wire_layout(t) for t, _ in transports]
+    total = sum(nbytes for _, nbytes in layouts)
     padded = -(-total // self.ROUND_PAD) * self.ROUND_PAD
     round_buf = np.zeros(padded, np.uint8)
     offsets = []
     packed = []
     off = 0
-    for (t, _), nbytes in zip(transports, sizes):
-      packed.append(data.wire_pack(t, out=round_buf, offset=off))
+    for (t, _), lt in zip(transports, layouts):
+      packed.append(data.wire_pack(t, out=round_buf, offset=off, layout_total=lt))
       offsets.append(off)
-      off += nbytes
+      off += lt[1]
     dev_buf = jax.device_put(round_buf)
     out = []
     for (buf, layout), (_, n), off in zip(packed, transports, offsets):
@@ -615,11 +628,7 @@ class ModelRunner:
           dev_buf, (np.int32(off),), (buf.nbytes,)
       )
       res = self._wire_fn(layout)(self.variables, bslice)
-      for arr in res:
-        try:
-          arr.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-          break
+      _start_d2h(res)
       out.append((res, n))
     return out
 
@@ -640,32 +649,17 @@ class ModelRunner:
     if num_passes is not None:
       ragged = data.ragged_from_rows(padded, num_passes, self.params)
       out = self._dispatch_ragged(ragged)
-      for arr in out:
-        try:
-          arr.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-          break
+      _start_d2h(out)
       return out, n
     compact = data.compact_from_rows(padded, self.params, pass_limit)
     out = self._forward(self.variables, compact)
-    # Start the device->host copy now: it completes as soon as the device
-    # finishes, overlapping the (tunnel-latency-dominated) transfer with
-    # later rounds' compute instead of paying it serially in collect().
-    for arr in out:
-      try:
-        arr.copy_to_host_async()
-      except (AttributeError, RuntimeError):
-        break
+    _start_d2h(out)
     return out, n
 
   def predict_ragged_async(self, ragged: Dict[str, np.ndarray], n: int):
     """Enqueues a prebuilt ragged transport batch (block featurize path)."""
     out = self._dispatch_ragged(ragged)
-    for arr in out:
-      try:
-        arr.copy_to_host_async()
-      except (AttributeError, RuntimeError):
-        break
+    _start_d2h(out)
     return out, n
 
   def collect(self, handle_n) -> Tuple[np.ndarray, np.ndarray]:
@@ -1244,6 +1238,10 @@ def threaded_iter(gen, maxsize: int = 512):
       put_until_stopped(done)
     except BaseException as e:  # re-raised at the consumer
       put_until_stopped(e)
+    finally:
+      # Close the generator HERE, not via GC: its finally blocks release
+      # open BAM readers promptly on any exit (incl. consumer detach).
+      gen.close()
 
   t = threading.Thread(target=run, daemon=True)
   t.start()

@@ -1002,6 +1002,7 @@ def wire_pack(
     transport: Dict[str, np.ndarray],
     out: Optional[np.ndarray] = None,
     offset: int = 0,
+    layout_total=None,
 ):
   """Fuses a transport dict into one flat uint8 buffer. -> (buf, layout).
 
@@ -1009,8 +1010,12 @@ def wire_pack(
   (and that view is returned) — the round-fused upload path uses this to
   assemble a whole round's batches in the final buffer with one copy
   instead of packing per-batch buffers and memcpying them again.
+  layout_total: a precomputed wire_layout(transport) result to avoid a
+  second layout walk on the per-round hot path.
   """
-  layout, total = wire_layout(transport)
+  layout, total = layout_total if layout_total is not None else wire_layout(
+      transport
+  )
   if out is None:
     buf = np.empty(total, np.uint8)
   else:
